@@ -1,0 +1,188 @@
+package graft.query
+
+import scala.collection.mutable
+
+import graft.codec.PostingsCodec
+import graft.model.{CorpusStats, PostingBlock, ScoredDoc}
+
+/** Posting-list iterator over encoded blocks with block skipping —
+  * the fixed version of the reference's TermDocs/TermPositions
+  * iteration whose `skipTo` degraded to a linear scan
+  * (hbasene HBaseTermPositions.java:177-186, TODO at :178). Blocks are
+  * skipped on metadata (maxDoc) without decoding; within a block a
+  * linear scan over ≤128 decoded entries.
+  */
+final class TermIterator(
+    val term: String,
+    val df: Double,
+    val ub: Double, // term-level score upper bound
+    scorer: Scorer,
+    stats: CorpusStats,
+    blocks: Array[PostingBlock]) {
+
+  private var bi = 0
+  private var di = 0
+  private var decoded: Array[(Long, Int)] =
+    if (blocks.nonEmpty) PostingsCodec.decodeDocTf(blocks(0)) else Array.empty
+
+  def exhausted: Boolean = bi >= blocks.length
+  def curDoc: Long = if (exhausted) Long.MaxValue else decoded(di)._1
+  def curTf: Int = decoded(di)._2
+
+  /** Upper bound within the current block (block-max). */
+  def blockUb: Double =
+    if (exhausted) 0.0
+    else scorer.upperBound(blocks(bi).maxTf.toDouble, df, stats)
+
+  def next(): Unit = {
+    if (exhausted) return
+    di += 1
+    if (di >= decoded.length) { bi += 1; di = 0; decodeCur() }
+  }
+
+  /** Advance to the first doc ≥ target; block-skip on metadata. */
+  def advanceTo(target: Long): Unit = {
+    if (exhausted || curDoc >= target) return
+    if (blocks(bi).maxDoc < target) {
+      while (bi < blocks.length && blocks(bi).maxDoc < target) bi += 1
+      di = 0
+      decodeCur()
+      if (exhausted) return
+    }
+    while (di < decoded.length && decoded(di)._1 < target) di += 1
+    if (di >= decoded.length) { bi += 1; di = 0; decodeCur(); advanceTo(target) }
+  }
+
+  private def decodeCur(): Unit =
+    if (bi < blocks.length) decoded = PostingsCodec.decodeDocTf(blocks(bi))
+}
+
+/** Block-max WAND top-k over a set of term iterators — exact top-k for
+  * disjunctive (OR) queries, with θ-pruning on term upper bounds and a
+  * block-max scoring filter (SURVEY.md §2.D D2). Deterministic:
+  * contributions summed in ascending-term order; ties broken by docId
+  * ascending (§7.4 #1).
+  */
+object Wand {
+
+  private final case class Hit(docId: Long, score: Double)
+  /** Heap keeps the WORST hit on top: lower score first, then larger
+    * docId (so the element evicted first is the one a better or
+    * equal-score-lower-docId candidate should displace). */
+  private val worstFirst: Ordering[Hit] = new Ordering[Hit] {
+    def compare(a: Hit, b: Hit): Int = {
+      val c = java.lang.Double.compare(b.score, a.score)
+      if (c != 0) c else java.lang.Long.compare(a.docId, b.docId)
+    }
+  }
+
+  /** @param dlOf docId → document length (co-partitioned by doc-range
+    *   shard at scale; a plain map here since one shard ≤ shardSize docs)
+    * @param requireAll conjunctive (AND) semantics when true. */
+  def topK(
+      itersIn: Seq[TermIterator],
+      dlOf: Long => Double,
+      scorer: Scorer,
+      stats: CorpusStats,
+      k: Int,
+      requireAll: Boolean = false,
+      queryTermCount: Int = -1,
+      queryDfsIn: Seq[Double] = null,
+      initialThreshold: Double = Double.NegativeInfinity): Seq[ScoredDoc] = {
+
+    // fixed summation order: ascending term
+    val byTerm = itersIn.sortBy(_.term).toArray
+    // docFactor (coord/queryNorm) must see the FULL query's dfs, not
+    // just the terms present in this shard
+    val queryDfs =
+      if (queryDfsIn != null) queryDfsIn else byTerm.map(_.df).toSeq
+    // AND semantics must count against the QUERY's term count, not the
+    // iterators present locally — a doc-range shard missing one term's
+    // posting row can never produce a conjunctive hit.
+    val nTerms = if (queryTermCount > 0) queryTermCount else byTerm.length
+    if (requireAll && byTerm.length < nTerms) return Seq.empty
+    // docFactor is monotone in nMatched (coord); its max (full match)
+    // scales the upper bounds so θ-pruning stays sound for scorers with
+    // docFactor ≠ 1 (LegacyTfIdf queryNorm·coord).
+    val ubScale = scorer.docFactor(nTerms, queryDfs, stats)
+    val iters = byTerm.clone() // sorted by curDoc as the algorithm runs
+    val heap = mutable.PriorityQueue.empty[Hit](worstFirst)
+
+    def theta: Double =
+      if (heap.size >= k) heap.head.score else initialThreshold
+
+    def offer(docId: Long, score: Double): Unit = {
+      if (heap.size < k) heap.enqueue(Hit(docId, score))
+      else {
+        val w = heap.head
+        if (score > w.score || (score == w.score && docId < w.docId)) {
+          heap.dequeue(); heap.enqueue(Hit(docId, score))
+        }
+      }
+    }
+
+    var done = false
+    while (!done) {
+      java.util.Arrays.sort(iters, Ordering.by((t: TermIterator) => t.curDoc))
+      // find pivot: smallest prefix whose ub sum can beat θ
+      var acc = 0.0
+      var pivot = -1
+      var i = 0
+      val th = theta
+      while (i < iters.length && pivot < 0) {
+        if (!iters(i).exhausted) {
+          acc += iters(i).ub * ubScale
+          if (acc > th || (heap.size < k && acc > Double.NegativeInfinity)) pivot = i
+        }
+        i += 1
+      }
+      if (pivot < 0 || iters(pivot).exhausted) done = true
+      else {
+        val pivotDoc = iters(pivot).curDoc
+        if (iters(0).curDoc == pivotDoc) {
+          // all iterators at pivotDoc — candidate; block-max filter first
+          var blockSum = 0.0
+          var j = 0
+          while (j < iters.length && iters(j).curDoc == pivotDoc) {
+            blockSum += iters(j).blockUb * ubScale; j += 1
+          }
+          val nMatched = j
+          if (blockSum > theta || heap.size < k) {
+            if (!requireAll || nMatched == nTerms) {
+              // deterministic order: byTerm is term-ascending
+              var score = 0.0
+              var m = 0
+              var t = 0
+              val dl = dlOf(pivotDoc)
+              while (t < byTerm.length) {
+                val it = byTerm(t)
+                if (!it.exhausted && it.curDoc == pivotDoc) {
+                  score += scorer.contribution(it.curTf.toDouble, it.df, dl, stats)
+                  m += 1
+                }
+                t += 1
+              }
+              score *= scorer.docFactor(m, queryDfs, stats)
+              offer(pivotDoc, score)
+            }
+          }
+          j = 0
+          while (j < iters.length && iters(j).curDoc == pivotDoc) {
+            iters(j).next(); j += 1
+          }
+        } else {
+          // advance the leading iterator with the largest ub to pivotDoc
+          var best = 0
+          var j = 1
+          while (j < pivot && iters(j).curDoc < pivotDoc) {
+            if (iters(j).ub > iters(best).ub) best = j
+            j += 1
+          }
+          iters(best).advanceTo(pivotDoc)
+        }
+      }
+    }
+    val drained: Seq[Hit] = heap.dequeueAll
+    drained.reverse.map(h => ScoredDoc(h.docId, h.score))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.build.{IndexBuilder, IndexConfig}
+import graft.query.{BM25, LegacyTfIdf, Searcher}
+
+/** CLI front door: build an index over a documents parquet table and
+  * run the core query set against it. Usage:
+  *   runMain graft.tools.Demo [sfDir] [term ...]
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val terms = if (args.length > 1) args.drop(1).toSeq else Seq("spark", "merge")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val t0 = System.nanoTime()
+    val index = IndexBuilder.fromText(spark, docs, "doc_id", "text",
+      untokenized = Seq("lang", "source"),
+      IndexConfig(shardSizeDocs = 1024)).cache()
+    index.postings.count() // materialize
+    println(f"[build] N=${index.stats.numDocs} avgdl=${index.stats.avgDocLen}%.3f " +
+      f"terms=${index.termStats.count()} in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+
+    val s = new Searcher(spark, index)
+    println(s"[dict] ${s.termEnum(terms.head.take(1), 5).collect().mkString(", ")}")
+    println(s"[df]   ${s.docFreqs(terms)}")
+    def show(tag: String, df: org.apache.spark.sql.DataFrame): Unit =
+      println(s"[$tag] " + df.collect().map(_.toSeq.mkString(":")).mkString(" | "))
+    show("or/bm25 ", s.topK(terms, 5))
+    show("or/wand ", s.topKWand(terms, 5))
+    show("and/bm25", s.topK(terms, 5, BM25(), requireAll = true))
+    show("and/wand", s.topKWand(terms, 5, BM25(), requireAll = true))
+    show("legacy  ", s.topK(terms, 5, LegacyTfIdf))
+    show("phrase  ", s.phraseTopK(terms.take(2), 5))
+    show("sorted  ", s.sortedTopK(terms.take(1), "lang", ascending = true, 5))
+    show("fetch   ", s.fetch(s.topK(terms, 3), Seq("lang", "n_chars")))
+    spark.stop()
+  }
+}

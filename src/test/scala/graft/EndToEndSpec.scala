@@ -1,0 +1,159 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.build.{IndexBuilder, IndexConfig}
+import graft.model.CodeDoc
+import graft.query.{BM25, LegacyTfIdf, Searcher}
+
+/** The §7.2 minimum slice: F1 fixture corpus → build → search —
+  * reproduces the reference behavioral suites
+  * (TestHBaseIndexStore/TermPositions/TermEnum/IndexReader) over the
+  * driver-mandated (repo, path, commit, lang, content) shape. */
+class EndToEndSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** FIXTURES.md F1 — 4-doc football corpus, docIDs 0..3 by docKey
+    * order (FactTimes < FourthTimes < ThirdTimes < UtopiaTimes…
+    * NOTE: dense IDs are assigned by docKey sort order, not insertion
+    * order; assertions below are key-order aware). */
+  private val corpus = Seq(
+    CodeDoc("ref", "FactTimes", "c0", "text", "Messi plays for Barcelona"),
+    CodeDoc("ref", "UtopiaTimes", "c0", "text", "Lionel M plays for Manchester United"),
+    CodeDoc("ref", "ThirdTimes", "c0", "text", "Rooney plays for Manchester United"),
+    CodeDoc("ref", "FourthTimes", "c0", "text",
+      "Messi plays for argentina as well. He plays as a mid-fielder and plays really well."))
+
+  private lazy val index = {
+    val idx = IndexBuilder.fromCodeDocs(spark, corpus.toDS(),
+      IndexConfig(shardSizeDocs = 2)) // 2 docs/shard → exercises sharding
+    idx.cache()
+    idx
+  }
+  private lazy val searcher = new Searcher(spark, index)
+
+  private def docIdOf(path: String): Long =
+    index.docs.where(col("path") === path).select("docId").head().getLong(0)
+
+  test("dense deterministic docIDs 0..N-1") {
+    val ids = index.docs.select("docId").as[Long].collect().sorted
+    assert(ids.toSeq === Seq(0L, 1L, 2L, 3L))
+    // deterministic across rebuilds
+    val idx2 = IndexBuilder.fromCodeDocs(spark, corpus.toDS(), IndexConfig(shardSizeDocs = 2))
+    val pairs1 = index.docs.select("path", "docId").as[(String, Long)].collect().toMap
+    val pairs2 = idx2.docs.select("path", "docId").as[(String, Long)].collect().toMap
+    assert(pairs1 === pairs2)
+  }
+
+  test("TestHBaseIndexStore semantics: postings exist for messi/lionel; all docs stored") {
+    val m = searcher.matches(Seq("messi")).collect()
+    assert(m.map(_.docId).toSet === Set(docIdOf("FactTimes"), docIdOf("FourthTimes")))
+    val l = searcher.matches(Seq("lionel")).collect()
+    assert(l.map(_.docId).toSet === Set(docIdOf("UtopiaTimes")))
+    assert(index.docs.count() === 4)
+    assert(index.docs.where(col("content").isNull).count() === 0)
+  }
+
+  test("TestHBaseTermPositions semantics: seek('plays') → exactly 4 docs, tf>0, positions") {
+    val m = searcher.matchesWithPositions(Seq("plays")).collect().sortBy(_.docId)
+    assert(m.length === 4)
+    assert(m.forall(_.tf > 0) && m.forall(_.docId >= 0))
+    val fourth = m.find(_.docId == docIdOf("FourthTimes")).get
+    assert(fourth.tf === 3)
+    assert(fourth.positions === Seq(2, 8, 14))
+    m.foreach(r => assert(r.positions.length === r.tf))
+  }
+
+  test("TestHBaseTermEnum semantics: dictionary fields and docFreq > 0") {
+    val ts = index.termStats.collect()
+    val fields = ts.map(_.getString(0)).toSet
+    assert(fields === Set("content", "path", "lang"))
+    assert(ts.forall(_.getLong(2) > 0)) // df > 0
+    // ordered enumeration with range seek
+    val e = searcher.termEnum("m", 5).as[(String, Long, Long)].collect()
+    assert(e.map(_._1).toSeq === e.map(_._1).sorted.toSeq)
+    assert(e.head._1 >= "m")
+  }
+
+  test("TestHBaseIndexReader semantics: relevance search 'plays', top hit = tf=3 doc") {
+    assert(searcher.totalHits(Seq("plays")) === 4) // totalHits > 3
+    for (scorer <- Seq(BM25(), LegacyTfIdf)) {
+      val top = searcher.topK(Seq("plays"), 3, scorer).collect()
+      assert(top.length === 3)
+      assert(top.forall(_.getDouble(1) > 0))
+      assert(top.head.getLong(0) === docIdOf("FourthTimes"), s"scorer=${scorer.name}")
+    }
+    // hits fetchable (C7)
+    val fetched = searcher.fetch(searcher.topK(Seq("plays"), 3), Seq("path", "content"))
+    assert(fetched.count() === 3)
+  }
+
+  test("WAND path rank-identical to exhaustive path (both scorers)") {
+    for {
+      terms <- Seq(Seq("plays"), Seq("messi", "plays"), Seq("messi", "rooney"),
+        Seq("manchester", "united"), Seq("nosuchterm", "messi"))
+      k <- Seq(1, 2, 4)
+      scorer <- Seq(BM25(), LegacyTfIdf)
+    } {
+      val exact = searcher.topK(terms, k, scorer).collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val wand = searcher.topKWand(terms, k, scorer).collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(wand.map(_._1).toSeq === exact.map(_._1).toSeq,
+        s"terms=$terms k=$k scorer=${scorer.name}")
+      wand.zip(exact).foreach { case (w, e) =>
+        assert(math.abs(w._2 - e._2) < 1e-12, s"terms=$terms k=$k scorer=${scorer.name}")
+      }
+    }
+  }
+
+  test("conjunctive AND requires all terms") {
+    val hits = searcher.topK(Seq("messi", "plays"), 10, BM25(), requireAll = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits === Set(docIdOf("FactTimes"), docIdOf("FourthTimes")))
+    val wand = searcher.topKWand(Seq("messi", "plays"), 10, BM25(), requireAll = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(wand === hits)
+  }
+
+  test("phrase query: 'manchester united' matches 2 docs; 'plays for' tf respects gaps") {
+    val hits = searcher.phraseTopK(Seq("manchester", "united"), 10).collect()
+    assert(hits.map(_.getLong(0)).toSet ===
+      Set(docIdOf("UtopiaTimes"), docIdOf("ThirdTimes")))
+    // "messi plays" consecutive in FactTimes (1,2) and FourthTimes (1,2)
+    val mp = searcher.phraseTopK(Seq("messi", "plays"), 10).collect()
+    assert(mp.map(_.getLong(0)).toSet === Set(docIdOf("FactTimes"), docIdOf("FourthTimes")))
+  }
+
+  test("field-sorted top-k (C5): sort by path asc/desc") {
+    val asc = searcher.sortedTopK(Seq("plays"), "path", ascending = true, 4)
+      .collect().map(_.getString(1))
+    assert(asc.toSeq === asc.sorted.toSeq && asc.length === 4)
+    val desc = searcher.sortedTopK(Seq("plays"), "path", ascending = false, 4)
+      .collect().map(_.getString(1))
+    assert(desc.toSeq === desc.sorted.reverse.toSeq)
+  }
+
+  test("untokenized fields indexed with sentinel position 0") {
+    val m = searcher.postingRows(Seq("text")).collect() // wrong field
+    assert(m.isEmpty)
+    val langSearcher = new Searcher(spark, index, field = "lang")
+    val langRows = langSearcher.matchesWithPositions(Seq("text")).collect()
+    assert(langRows.length === 4)
+    assert(langRows.forall(_.positions === Seq(0)))
+  }
+
+  test("sha256 row invariant (D4)") {
+    val bad = index.docs
+      .where(sha2(col("content"), 256) =!= col("content_sha256")).count()
+    assert(bad === 0)
+  }
+
+  test("corpus stats") {
+    assert(index.stats.numDocs === 4)
+    // dls: 3, 5(lionel m plays manchester united), 5, 10
+    val dls = index.docs.select("dl").as[Long].collect().sorted
+    assert(dls.sum === dls.sum) // sanity
+    assert(math.abs(index.stats.avgDocLen - dls.sum.toDouble / 4) < 1e-9)
+  }
+}
