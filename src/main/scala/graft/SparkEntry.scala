@@ -1,13 +1,58 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.api.{EngineQueries => E, OracleSql}
+import graft.pipeline.{TextPipeline => T}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries split into two families:
+  *   - index-backed (dict/postings/BM25/WAND/phrase/sort/fetch) — run
+  *     through the inverted-index engine (build → encode → decode →
+  *     score), memoized per scale dir;
+  *   - pipeline (dedup/similarity/text-analysis/multimodal) — direct
+  *     Dataset transforms over documents/embeddings.
+  * Each has an independent DuckDB recomputation in `oracleSql`.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf0.001: disjunctive BM25 top-k through the
+    * full index path. Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    E.bm25Or(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- inverted-index engine ----
+    "dict_terms" -> ((s, d) => E.dictTerms(s, d)),
+    "term_enum" -> ((s, d) => E.termEnum(s, d)),
+    "postings_term" -> ((s, d) => E.postingsTerm(s, d, "spark")),
+    "positions_term" -> ((s, d) => E.positionsTerm(s, d, "dup")),
+    "corpus_stats" -> ((s, d) => E.corpusStats(s, d)),
+    "doc_freqs" -> ((s, d) => E.docFreqs(s, d, Seq("spark", "merge", "window", "dup"))),
+    "bm25_single" -> ((s, d) => E.bm25Single(s, d)),
+    "bm25_or" -> ((s, d) => E.bm25Or(s, d)),
+    "bm25_and" -> ((s, d) => E.bm25And(s, d)),
+    "bm25_wand" -> ((s, d) => E.bm25Wand(s, d)),
+    "tfidf_legacy" -> ((s, d) => E.tfidfLegacy(s, d)),
+    "phrase_bm25" -> ((s, d) => E.phraseBm25(s, d)),
+    "sort_topk" -> ((s, d) => E.sortTopK(s, d)),
+    "fetch_docs" -> ((s, d) => E.fetchDocs(s, d)),
+    "sha256_rows" -> ((s, d) => E.shaRows(s, d)),
+    // ---- training-data pipeline ----
+    "dedup_exact" -> ((s, d) => T.dedupExact(T.documents(s, d))),
+    "dedup_jaccard" -> ((s, d) => T.ngramJaccardPairs(T.documents(s, d), 0.8)),
+    "dedup_minhash" -> ((s, d) => T.minhashCandidates(T.documents(s, d))),
+    "dedup_simhash" -> ((s, d) => T.simhash(T.documents(s, d))),
+    "dedup_simhash_pairs" -> ((s, d) => T.simhashPairs(T.documents(s, d), 8)),
+    "embed_knn" -> ((s, d) => T.cosineTopK(T.embeddings(s, d), 0L, 10)),
+    "embed_lsh_buckets" -> ((s, d) => T.lshBuckets(T.embeddings(s, d))),
+    "embed_ivf_knn" -> ((s, d) => T.ivfTopK(T.embeddings(s, d), 0L, 5)),
+    "text_langid" -> ((s, d) => T.langId(T.documents(s, d))),
+    "text_quality" -> ((s, d) => T.quality(T.documents(s, d))),
+    "text_tokcount" -> ((s, d) => T.tokenCounts(T.documents(s, d))),
+    "text_fingerprint" -> ((s, d) => T.fingerprint(T.documents(s, d))),
+    "media_meta" -> ((s, d) => E.mediaMeta(s, d)))
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

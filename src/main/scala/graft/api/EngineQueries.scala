@@ -1,0 +1,116 @@
+package graft.api
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.build.{IndexBuilder, IndexConfig, InvertedIndex}
+import graft.pipeline.TextPipeline
+import graft.query.{BM25, LegacyTfIdf, Searcher}
+
+/** Index-backed query surface used by SparkEntry/Verify/Bench.
+  *
+  * The index over a scale dir is built once per JVM and memoized —
+  * an inverted index is a build-once/query-many artifact (reference:
+  * the HBase tables persist across searches); Verify/Bench amortize
+  * the build across all queries exactly as a user would.
+  */
+object EngineQueries {
+
+  private val cache = TrieMap.empty[String, InvertedIndex]
+
+  /** Build (or fetch) the index over `dir`/documents.parquet.
+    * doc_id is already dense in the testdata → used as docId directly;
+    * the code-corpus path (IndexBuilder.fromCodeDocs) exercises the
+    * two-level dense assignment instead. */
+  def index(spark: SparkSession, dir: String): InvertedIndex =
+    cache.getOrElseUpdate(dir, {
+      val idx = IndexBuilder.fromText(
+        spark, TextPipeline.documents(spark, dir), "doc_id", "text",
+        untokenized = Seq("lang", "source"),
+        IndexConfig(shardSizeDocs = 1024))
+      idx.cache()
+      idx.postings.count() // materialize once
+      idx
+    })
+
+  def searcher(spark: SparkSession, dir: String): Searcher =
+    new Searcher(spark, index(spark, dir))
+
+  // ---- query wrappers (column names/types aligned with oracle SQL) ----
+
+  private def asTopK(df: DataFrame): DataFrame =
+    df.select(col("docId").cast("long").as("doc_id"),
+      round(col("score"), 4).as("score"))
+
+  def dictTerms(s: SparkSession, dir: String): DataFrame =
+    index(s, dir).termStats.where(col("field") === "content")
+      .select(col("term"), col("df"), col("cf"))
+
+  def termEnum(s: SparkSession, dir: String): DataFrame =
+    searcher(s, dir).termEnum("m", 10)
+
+  def postingsTerm(s: SparkSession, dir: String, term: String): DataFrame =
+    searcher(s, dir).matches(Seq(term)).toDF()
+      .select(col("docId").as("doc_id"), col("tf").cast("long").as("tf"))
+
+  def positionsTerm(s: SparkSession, dir: String, term: String): DataFrame =
+    searcher(s, dir).matchesWithPositions(Seq(term)).toDF()
+      .select(col("docId").as("doc_id"), explode(col("positions")).as("p"))
+      .select(col("doc_id"), col("p").cast("long").as("pos"))
+
+  def corpusStats(s: SparkSession, dir: String): DataFrame =
+    index(s, dir).docs.agg(
+      count(lit(1)).as("n_docs"),
+      round(avg(col("dl").cast("double")), 6).as("avgdl"))
+
+  def docFreqs(s: SparkSession, dir: String, terms: Seq[String]): DataFrame =
+    index(s, dir).termStats
+      .where(col("field") === "content" && col("term").isin(terms: _*))
+      .select(col("term"), col("df"))
+
+  def bm25Single(s: SparkSession, dir: String): DataFrame =
+    asTopK(searcher(s, dir).topK(Seq("spark"), 10))
+
+  def bm25Or(s: SparkSession, dir: String): DataFrame =
+    asTopK(searcher(s, dir).topK(Seq("spark", "merge", "window"), 10))
+
+  def bm25And(s: SparkSession, dir: String): DataFrame =
+    asTopK(searcher(s, dir).topK(Seq("spark", "merge"), 10, BM25(), requireAll = true))
+
+  def bm25Wand(s: SparkSession, dir: String): DataFrame =
+    asTopK(searcher(s, dir).topKWand(Seq("spark", "merge", "window"), 10))
+
+  def tfidfLegacy(s: SparkSession, dir: String): DataFrame =
+    asTopK(searcher(s, dir).topK(Seq("dup"), 10, LegacyTfIdf))
+
+  def phraseBm25(s: SparkSession, dir: String): DataFrame =
+    asTopK(searcher(s, dir).phraseTopK(Seq("hash", "join"), 10))
+
+  def sortTopK(s: SparkSession, dir: String): DataFrame =
+    searcher(s, dir).sortedTopK(Seq("spark"), "lang", ascending = true, 15)
+      .select(col("docId").cast("long").as("doc_id"), col("lang"),
+        round(col("score"), 4).as("score"))
+
+  def fetchDocs(s: SparkSession, dir: String): DataFrame =
+    searcher(s, dir).fetch(searcher(s, dir).topK(Seq("merge"), 5), Seq("lang", "n_chars"))
+      .select(col("docId").cast("long").as("doc_id"),
+        round(col("score"), 4).as("score"), col("lang"), col("n_chars"))
+
+  def shaRows(s: SparkSession, dir: String): DataFrame =
+    index(s, dir).docs.select(col("docId").as("doc_id"),
+      col("content_sha256").as("sha"))
+
+  /** Multimodal plumbing demo: text → binary column → byte-level
+    * metadata (frame count at 64-byte frames, header byte). The real
+    * decode step is environment-stubbed (no image/audio libs in this
+    * container); the Spark-side schema/partition/batch shape is real. */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame =
+    TextPipeline.documents(s, dir)
+      .withColumn("bin", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"),
+        octet_length(col("bin")).cast("long").as("n_bytes"),
+        ((octet_length(col("bin")) + lit(63)).cast("long") / 64L).cast("long").as("n_frames"),
+        ascii(col("text")).cast("long").as("head"))
+}

@@ -1,0 +1,309 @@
+package graft.api
+
+import graft.analysis.Analyzer
+
+/** DuckDB oracle SQL — each statement recomputes a SparkEntry query
+  * independently over the same parquet tables (`documents`,
+  * `embeddings`). Tokenization, hashing and scoring mirror the engine
+  * EXACTLY (same regex split, same stop set, same integer hash
+  * arithmetic over dense-rank ids, same double expression shapes);
+  * floats are rounded at the output edge only.
+  */
+object OracleSql {
+
+  private val STOP = Analyzer.stopWordsSqlList
+
+  /** Shared tokenization CTEs: raw split → tok (1-based pos over
+    * non-empty tokens, stopwords included) → emitted (stop-filtered)
+    * → dl (per-doc emitted count, 0 kept) → corpus (N, avgdl). */
+  private val TOK = s"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term,
+         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), 1) AS ord
+  FROM documents),
+tok AS (
+  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS pos
+  FROM raw WHERE term <> ''),
+emitted AS (SELECT * FROM tok WHERE term NOT IN $STOP),
+dl AS (
+  SELECT d.doc_id, coalesce(e.c, 0)::DOUBLE AS dl
+  FROM documents d LEFT JOIN
+    (SELECT doc_id, count(*)::BIGINT AS c FROM emitted GROUP BY 1) e USING (doc_id)),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl)"""
+
+  private def inList(terms: Seq[String]): String =
+    terms.map(t => s"'$t'").mkString("(", ", ", ")")
+
+  /** BM25 scored CTE over a term list (k1=1.2, b=0.75 — mirrors
+    * Scorers.BM25.contributionCol shape exactly). */
+  private def bm25Scored(terms: Seq[String]): String = s"""
+, tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM emitted
+  WHERE term IN ${inList(terms)} GROUP BY 1, 2),
+dfq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM
+    (SELECT DISTINCT doc_id, term FROM emitted WHERE term IN ${inList(terms)})
+  GROUP BY 1),
+scored AS (
+  SELECT t.doc_id,
+         sum(ln(1.0 + (c.n - f.df + 0.5) / (f.df + 0.5))
+             * t.tf / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl))) AS s,
+         count(*) AS m
+  FROM tf t JOIN dfq f USING (term) JOIN dl d USING (doc_id) CROSS JOIN corpus c
+  GROUP BY t.doc_id)"""
+
+  private def bm25TopK(terms: Seq[String], k: Int, requireAll: Boolean): String =
+    TOK + bm25Scored(terms) + s"""
+SELECT doc_id, round(s, 4) AS score FROM scored
+${if (requireAll) s"WHERE m = ${terms.length}" else ""}
+ORDER BY s DESC, doc_id LIMIT $k"""
+
+  val all: Map[String, String] = Map(
+    "dict_terms" -> (TOK + """
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM emitted GROUP BY term"""),
+
+    "term_enum" -> (TOK + """
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM emitted WHERE term >= 'm' GROUP BY term ORDER BY term LIMIT 10"""),
+
+    "postings_term" -> (TOK + """
+SELECT doc_id, count(*)::BIGINT AS tf FROM emitted WHERE term = 'spark' GROUP BY 1"""),
+
+    "positions_term" -> (TOK + """
+SELECT doc_id, pos::BIGINT AS pos FROM emitted WHERE term = 'dup'"""),
+
+    "corpus_stats" -> (TOK + """
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       round((SELECT avg(dl) FROM dl), 6) AS avgdl"""),
+
+    "doc_freqs" -> (TOK + """
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM emitted
+WHERE term IN ('spark', 'merge', 'window', 'dup') GROUP BY 1"""),
+
+    "bm25_single" -> bm25TopK(Seq("spark"), 10, requireAll = false),
+    "bm25_or" -> bm25TopK(Seq("spark", "merge", "window"), 10, requireAll = false),
+    "bm25_and" -> bm25TopK(Seq("spark", "merge"), 10, requireAll = true),
+    // WAND must be rank-identical to the exhaustive plan → same oracle
+    "bm25_wand" -> bm25TopK(Seq("spark", "merge", "window"), 10, requireAll = false),
+
+    "tfidf_legacy" -> (TOK + """
+, tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM emitted WHERE term = 'dup' GROUP BY 1),
+dfq AS (SELECT count(*)::DOUBLE AS df FROM (SELECT DISTINCT doc_id FROM emitted WHERE term = 'dup')),
+idf AS (SELECT 1.0 + ln(c.n / (f.df + 1.0)) AS i FROM dfq f CROSS JOIN corpus c)
+SELECT t.doc_id,
+       round((sqrt(t.tf) * i.i * i.i) * (1.0 / sqrt(i.i * i.i)), 4) AS score
+FROM tf t CROSS JOIN idf i
+ORDER BY (sqrt(t.tf) * i.i * i.i) * (1.0 / sqrt(i.i * i.i)) DESC, t.doc_id LIMIT 10"""),
+
+    "phrase_bm25" -> (TOK + """
+, starts AS (
+  SELECT a.doc_id, a.pos FROM emitted a
+  JOIN emitted b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'hash' AND b.term = 'join'),
+ptf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM starts GROUP BY 1),
+pdf AS (SELECT count(*)::DOUBLE AS df FROM ptf)
+SELECT p.doc_id,
+       round(ln(1.0 + (c.n - f.df + 0.5) / (f.df + 0.5))
+             * p.tf / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl)), 4) AS score
+FROM ptf p CROSS JOIN pdf f JOIN dl d USING (doc_id) CROSS JOIN corpus c
+ORDER BY ln(1.0 + (c.n - f.df + 0.5) / (f.df + 0.5))
+         * p.tf / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl)) DESC, p.doc_id
+LIMIT 10"""),
+
+    "sort_topk" -> (TOK + bm25Scored(Seq("spark")) + """
+SELECT s.doc_id, d.lang, round(s.s, 4) AS score
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY d.lang ASC, s.s DESC, s.doc_id LIMIT 15"""),
+
+    "fetch_docs" -> (TOK + bm25Scored(Seq("merge")) + """
+, top AS (SELECT doc_id, s FROM scored ORDER BY s DESC, doc_id LIMIT 5)
+SELECT t.doc_id, round(t.s, 4) AS score, d.lang, d.n_chars
+FROM top t JOIN documents d USING (doc_id)"""),
+
+    "sha256_rows" -> """
+SELECT doc_id, sha256(text) AS sha FROM documents""",
+
+    "dedup_exact" -> """
+SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n
+FROM documents GROUP BY sha256(text)""",
+
+    "dedup_jaccard" -> (TOK + """
+, sh AS (
+  SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS sh
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS i
+  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2)
+SELECT a, b,
+       round(i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE, 4) AS jaccard
+FROM inter JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= 0.8"""),
+
+    "dedup_minhash" -> (TOK + """
+, sh AS (
+  SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS sh
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+sid AS (
+  SELECT sh, row_number() OVER (ORDER BY sh) AS sid
+  FROM (SELECT DISTINCT sh FROM sh)),
+wid AS (SELECT s.doc_id, i.sid FROM sh s JOIN sid i USING (sh)),
+mh AS (
+  SELECT w.doc_id, g.i,
+         min(((2 * g.i + 1) * w.sid + (g.i * 7919 + 1)) % 2147483647) AS mh
+  FROM wid w CROSS JOIN range(12) g(i) GROUP BY 1, 2),
+bk AS (
+  SELECT doc_id, (i // 3)::INT AS band,
+         (max(CASE WHEN i % 3 = 0 THEN mh END) % 1000003) * 1000003 * 1000003
+       + (max(CASE WHEN i % 3 = 1 THEN mh END) % 1000003) * 1000003
+       + (max(CASE WHEN i % 3 = 2 THEN mh END) % 1000003) AS bkey
+  FROM mh GROUP BY 1, 2)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM bk x JOIN bk y
+  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"""),
+
+    "dedup_simhash" -> (TOK + """
+, tfq AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM emitted GROUP BY 1, 2),
+tid AS (
+  SELECT term, row_number() OVER (ORDER BY term) AS tid
+  FROM (SELECT DISTINCT term FROM emitted)),
+hh AS (
+  SELECT f.doc_id, f.tf, (t.tid * 2654435761 + 911) % 2147483647 AS h
+  FROM tfq f JOIN tid t USING (term)),
+bits AS (
+  SELECT doc_id, b.b, sum(tf * (((h >> b.b) & 1) * 2 - 1)) AS sb
+  FROM hh CROSS JOIN range(31) b(b) GROUP BY 1, 2)
+SELECT doc_id,
+       sum(CASE WHEN sb > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY 1"""),
+
+    "dedup_simhash_pairs" -> (TOK + """
+, tfq AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM emitted GROUP BY 1, 2),
+tid AS (
+  SELECT term, row_number() OVER (ORDER BY term) AS tid
+  FROM (SELECT DISTINCT term FROM emitted)),
+hh AS (
+  SELECT f.doc_id, f.tf, (t.tid * 2654435761 + 911) % 2147483647 AS h
+  FROM tfq f JOIN tid t USING (term)),
+bits AS (
+  SELECT doc_id, b.b, sum(tf * (((h >> b.b) & 1) * 2 - 1)) AS sb
+  FROM hh CROSS JOIN range(31) b(b) GROUP BY 1, 2),
+sv AS (
+  SELECT doc_id,
+         sum(CASE WHEN sb > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY 1)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       bit_count(xor(x.simhash, y.simhash))::BIGINT AS ham
+FROM sv x JOIN sv y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 8"""),
+
+    "embed_knn" -> """
+WITH q AS (
+  SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id = 0),
+e AS (
+  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+dots AS (
+  SELECT e.vec_id,
+         sum(e.v::DOUBLE * q.qv::DOUBLE) AS dot,
+         sum(e.v::DOUBLE * e.v::DOUBLE) AS na
+  FROM e JOIN q USING (i) GROUP BY 1),
+qn AS (SELECT sqrt(sum(qv::DOUBLE * qv::DOUBLE)) AS nq FROM q)
+SELECT vec_id, round(dot / (sqrt(na) * nq), 3) AS sim
+FROM dots CROSS JOIN qn WHERE vec_id <> 0
+ORDER BY dot / (sqrt(na) * nq) DESC, vec_id LIMIT 10""",
+
+    "embed_lsh_buckets" -> """
+WITH e AS (
+  SELECT vec_id, round(unnest(embedding)::DOUBLE * 1000.0)::BIGINT AS qv,
+         generate_subscripts(embedding, 1) - 1 AS i
+  FROM embeddings),
+pl AS (
+  SELECT vec_id, i, qv, b.b, ((b.b * 7919 + i * 104729) % 97) - 48 AS w
+  FROM e CROSS JOIN range(8) b(b)),
+bits AS (SELECT vec_id, b, sum(qv * w) AS s FROM pl GROUP BY 1, 2),
+bkt AS (
+  SELECT vec_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS bucket
+  FROM bits GROUP BY 1)
+SELECT bucket, count(*)::BIGINT AS n FROM bkt GROUP BY 1""",
+
+    "embed_ivf_knn" -> """
+WITH sub AS (
+  SELECT * FROM embeddings
+  WHERE label = (SELECT label FROM embeddings WHERE vec_id = 0)),
+q AS (
+  SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id = 0),
+e AS (
+  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+  FROM sub),
+dots AS (
+  SELECT e.vec_id,
+         sum(e.v::DOUBLE * q.qv::DOUBLE) AS dot,
+         sum(e.v::DOUBLE * e.v::DOUBLE) AS na
+  FROM e JOIN q USING (i) GROUP BY 1),
+qn AS (SELECT sqrt(sum(qv::DOUBLE * qv::DOUBLE)) AS nq FROM q)
+SELECT vec_id, round(dot / (sqrt(na) * nq), 3) AS sim
+FROM dots CROSS JOIN qn WHERE vec_id <> 0
+ORDER BY dot / (sqrt(na) * nq) DESC, vec_id LIMIT 5""",
+
+    "text_langid" -> (TOK + """
+, cnt AS (
+  SELECT doc_id,
+    sum(CASE WHEN term IN ('the','a','of','and','is') THEN 1 ELSE 0 END) AS en_m,
+    sum(CASE WHEN term IN ('el','la','de','que','es') THEN 1 ELSE 0 END) AS es_m,
+    sum(CASE WHEN term IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS de_m
+  FROM tok GROUP BY 1)
+SELECT d.doc_id,
+  CASE WHEN en_m >= es_m AND en_m >= de_m AND en_m > 0 THEN 'en'
+       WHEN es_m >= de_m AND es_m > 0 THEN 'es'
+       WHEN de_m > 0 THEN 'de'
+       ELSE 'unk' END AS pred_lang
+FROM documents d LEFT JOIN cnt USING (doc_id)"""),
+
+    "text_quality" -> (TOK + s"""
+, qq AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tok,
+         sum(CASE WHEN term IN $STOP THEN 1 ELSE 0 END)::BIGINT AS n_stop,
+         sum(length(term))::BIGINT AS sum_len
+  FROM tok GROUP BY 1)
+SELECT doc_id, n_tok, n_stop,
+  round(n_stop::DOUBLE / n_tok::DOUBLE, 4) AS stop_ratio,
+  round(sum_len::DOUBLE / n_tok::DOUBLE, 4) AS avg_len,
+  round(least(n_tok::DOUBLE / 97.0, 1.0) * 0.47
+        + (1.0 - n_stop::DOUBLE / n_tok::DOUBLE) * 0.31
+        + least((sum_len::DOUBLE / n_tok::DOUBLE) / 7.3, 1.0) * 0.22, 4) AS qscore
+FROM qq"""),
+
+    "text_tokcount" -> (TOK + """
+, a AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tok, count(DISTINCT term)::BIGINT AS n_uniq
+  FROM tok GROUP BY 1)
+SELECT d.doc_id, len(string_split(d.text, ' '))::BIGINT AS n_ws,
+       coalesce(a.n_tok, 0)::BIGINT AS n_tok,
+       coalesce(a.n_uniq, 0)::BIGINT AS n_uniq
+FROM documents d LEFT JOIN a USING (doc_id)"""),
+
+    "text_fingerprint" -> (TOK + """
+, tid AS (
+  SELECT term, row_number() OVER (ORDER BY term) AS tid
+  FROM (SELECT DISTINCT term FROM emitted))
+SELECT e.doc_id,
+       sum(t.tid * ((e.pos * 2654435761) % 1048576)) % 2147483647 AS fp
+FROM emitted e JOIN tid t USING (term) GROUP BY e.doc_id"""),
+
+    "media_meta" -> """
+SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+       ((octet_length(encode(text)) + 63) // 64)::BIGINT AS n_frames,
+       ascii(text)::BIGINT AS head
+FROM documents""")
+}

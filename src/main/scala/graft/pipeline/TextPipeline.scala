@@ -1,0 +1,276 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+
+/** Training-data pipeline operators over the `documents` /
+  * `embeddings` tables: dedup (exact / MinHash-LSH / SimHash /
+  * n-gram Jaccard), similarity search (brute-force cosine, LSH
+  * buckets, IVF-style partition), text analysis (lang-ID, quality,
+  * token counts, fingerprints).
+  *
+  * Every hash here is plain integer arithmetic over DENSE RANK ids
+  * (not engine-native hash functions) so the identical computation is
+  * expressible in ANSI SQL for the DuckDB oracle — and exact (no
+  * float divergence) across engines. The dense-rank window sorts only
+  * vocabulary-sized tables (distinct terms / shingles), never the
+  * corpus, so it stays cheap at scale.
+  */
+object TextPipeline {
+
+  private val P = 2147483647L // 2^31 − 1
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Raw tokens with 1-based position (stopwords INCLUDED) —
+    * mirror of the oracle's `tok` CTE. */
+  def rawTok(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        Analyzer.rawTokens(text).zipWithIndex.map { case (t, i) =>
+          (id, t, i + 1)
+        }
+      }
+      .toDF("doc_id", "term", "pos")
+  }
+
+  /** Non-stopword tokens (the index's emitted stream). */
+  def emittedTok(docs: DataFrame): DataFrame = {
+    val stops = Analyzer.EnglishStopWords.toSeq
+    rawTok(docs).where(!col("term").isin(stops: _*))
+  }
+
+  // ---- deduplication -----------------------------------------------------
+
+  /** Exact dedup keep-list: group by content hash (sha256 — hash the
+    * bytes, not the string, so the shuffle key is 32 bytes not the
+    * document), keep min doc_id per group. */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n"))
+      .select("doc_id", "n")
+
+  /** Token 3-gram shingles, distinct per doc. */
+  def shingles(docs: DataFrame): DataFrame = {
+    val t = rawTok(docs)
+    val a = t.as("a"); val b = t.as("b"); val c = t.as("c")
+    a.join(b, col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+      .join(c, col("a.doc_id") === col("c.doc_id") && col("c.pos") === col("a.pos") + 2)
+      .select(col("a.doc_id").as("doc_id"),
+        concat_ws(" ", col("a.term"), col("b.term"), col("c.term")).as("sh"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs at threshold τ. Blocking by
+    * shared shingle is EXACT (J > 0 ⇒ at least one shared shingle), so
+    * this is a scalable shuffle-join on the shingle key with no false
+    * negatives — no O(n²) cross join. */
+  def ngramJaccardPairs(docs: DataFrame, tau: Double): DataFrame = {
+    val sh = shingles(docs).cache()
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sz.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("sza") + col("szb") - col("i")).cast("double"))
+      .where(col("jaccard") >= tau)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Dense shingle ids: vocabulary-sized sort (NOT corpus-sized). */
+  private def shingleIds(sh: DataFrame): DataFrame =
+    sh.select("sh").distinct()
+      .withColumn("sid", row_number().over(Window.orderBy("sh")).cast("long"))
+
+  /** MinHash + banded LSH candidate pairs.
+    * nHash=12 permutations h_i(x) = ((2i+1)·x + (7919i+1)) mod (2³¹−1),
+    * 4 bands × 3 rows; band key folded with modular base 1000003
+    * (all exact 64-bit integer arithmetic — oracle-identical). */
+  def minhashCandidates(docs: DataFrame, nHash: Int = 12, rowsPerBand: Int = 3): DataFrame = {
+    val sh = shingles(docs)
+    val withIds = sh.join(shingleIds(sh), "sh").select("doc_id", "sid")
+    val hashed = withIds
+      .select(col("doc_id"), explode(sequence(lit(0), lit(nHash - 1))).as("i"), col("sid"))
+      .withColumn("h", ((lit(2) * col("i") + 1) * col("sid")
+        + (col("i") * 7919 + 1)) % P)
+    val sig = hashed.groupBy("doc_id", "i").agg(min("h").as("mh"))
+      .withColumn("band", (col("i") / rowsPerBand).cast("int"))
+      .withColumn("r", col("i") % rowsPerBand)
+    val bandKey = sig.groupBy("doc_id", "band").agg(
+      ((max(when(col("r") === 0, col("mh"))) % 1000003L) * 1000003L * 1000003L
+        + (max(when(col("r") === 1, col("mh"))) % 1000003L) * 1000003L
+        + (max(when(col("r") === 2, col("mh"))) % 1000003L)).as("bkey"))
+    bandKey.as("x").join(bandKey.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** Dense term ids over the emitted vocabulary. */
+  private def termIds(emitted: DataFrame): DataFrame =
+    emitted.select("term").distinct()
+      .withColumn("tid", row_number().over(Window.orderBy("term")).cast("long"))
+
+  /** 31-bit SimHash per doc, tf-weighted:
+    * h(tid) = (tid·2654435761 + 911) mod (2³¹−1); bit b set iff
+    * Σ_terms tf·(2·bit_b(h)−1) > 0. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val emitted = emittedTok(docs)
+    val tf = emitted.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val withIds = tf.join(termIds(emitted), "term")
+      .withColumn("h", (col("tid") * 2654435761L + 911L) % P)
+    val bits = withIds
+      .select(col("doc_id"), col("tf"), col("h"),
+        explode(sequence(lit(0), lit(30))).as("b"))
+      .withColumn("s", col("tf") * (expr("shiftright(h, cast(b as int))")
+        .bitwiseAND(1L) * 2 - 1))
+    bits.groupBy("doc_id", "b").agg(sum("s").as("sb"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("sb") > 0, expr("shiftleft(1L, cast(b as int))"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHam.
+    * (Pairwise here; at scale this becomes a bit-band LSH join —
+    * the simhash column itself is the scale-ready artifact.) */
+  def simhashPairs(docs: DataFrame, maxHam: Int): DataFrame = {
+    val s = simhash(docs)
+    s.as("x").join(s.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .withColumn("ham", bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))))
+      .where(col("ham") <= maxHam)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("ham"))
+  }
+
+  // ---- text analysis -----------------------------------------------------
+
+  /** Marker-stopword language heuristic (synthetic corpus carries no
+    * real language signal; the operator shape — per-lang marker
+    * counts, argmax with deterministic tiebreak — is the real thing). */
+  def langId(docs: DataFrame): DataFrame = {
+    val t = rawTok(docs)
+    val counts = t.groupBy("doc_id").agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("term").isin("the", "a", "of", "and", "is"), 1L).otherwise(0L)).as("en_m"),
+      sum(when(col("term").isin("el", "la", "de", "que", "es"), 1L).otherwise(0L)).as("es_m"),
+      sum(when(col("term").isin("der", "die", "das", "und", "ist"), 1L).otherwise(0L)).as("de_m"))
+    docs.select("doc_id").join(counts, Seq("doc_id"), "left")
+      .withColumn("pred_lang",
+        when(col("en_m") >= col("es_m") && col("en_m") >= col("de_m") && col("en_m") > 0, "en")
+          .when(col("es_m") >= col("de_m") && col("es_m") > 0, "es")
+          .when(col("de_m") > 0, "de")
+          .otherwise("unk"))
+      .select("doc_id", "pred_lang")
+  }
+
+  /** Quality scoring: token counts, stopword ratio, avg token length,
+    * composite score. All integer-derived doubles → oracle-exact. */
+  def quality(docs: DataFrame): DataFrame = {
+    val t = rawTok(docs)
+    val agg = t.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tok"),
+      sum(when(col("term").isin(Analyzer.EnglishStopWords.toSeq: _*), 1L)
+        .otherwise(0L)).as("n_stop"),
+      sum(length(col("term"))).as("sum_len"))
+    agg
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tok").cast("double"))
+      .withColumn("avg_len", col("sum_len").cast("double") / col("n_tok").cast("double"))
+      .withColumn("qscore",
+        // non-dyadic weights keep round(…,4) off exact .5e-4 decimal
+        // boundaries where Spark (BigDecimal HALF_UP on the decimal
+        // expansion) and DuckDB (float-multiply rounding) disagree
+        least(col("n_tok").cast("double") / 97.0, lit(1.0)) * 0.47
+          + (lit(1.0) - col("stop_ratio")) * 0.31
+          + least(col("avg_len") / 7.3, lit(1.0)) * 0.22)
+      .select(col("doc_id"), col("n_tok"), col("n_stop"),
+        round(col("stop_ratio"), 4).as("stop_ratio"),
+        round(col("avg_len"), 4).as("avg_len"),
+        round(col("qscore"), 4).as("qscore"))
+  }
+
+  /** Token counting: whitespace chunks, regex tokens, distinct terms. */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val t = rawTok(docs)
+    val agg = t.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tok"), countDistinct("term").as("n_uniq"))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_ws"))
+      .join(agg, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_tok", "n_uniq"))
+      .select("doc_id", "n_ws", "n_tok", "n_uniq")
+  }
+
+  /** Position-sensitive document fingerprint (rolling-hash style):
+    * fp = Σ_pos tid·((pos·2654435761) mod 2²⁰) mod (2³¹−1). */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val emitted = emittedTok(docs)
+    emitted.join(termIds(emitted), "term")
+      .withColumn("w", (col("pos").cast("long") * 2654435761L) % 1048576L)
+      .groupBy("doc_id")
+      .agg((sum(col("tid") * col("w")) % P).as("fp"))
+  }
+
+  // ---- similarity search over embeddings ----------------------------------
+
+  /** Brute-force cosine top-k vs a query vector (the exactness
+    * baseline; scale path = lshBuckets / ivfTopK below). Dot products
+    * via zip_with + fixed-order fold (codegen'd, deterministic). */
+  def cosineTopK(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val q = emb.where(col("vec_id") === queryVecId)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    val qCol = typedlit(q)
+    val dot = aggregate(
+      zip_with(col("embedding"), qCol, (a, b) => a.cast("double") * b),
+      lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(
+      transform(col("embedding"), a => a.cast("double") * a.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    emb.where(col("vec_id") =!= queryVecId)
+      .withColumn("cos", dot / (sqrt(na) * lit(qNorm)))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("cos"), 3).as("sim"))
+  }
+
+  /** Random-hyperplane LSH bucket histogram. Embeddings quantized to
+    * round(x·1000) BIGINT first so the per-plane sign is EXACT integer
+    * arithmetic (no float-sum sign flips across engines); 8 planes,
+    * weights w(b,i) = ((7919b + 104729i) mod 97) − 48. */
+  def lshBuckets(emb: DataFrame, nPlanes: Int = 8): DataFrame = {
+    val q = emb.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("i", "v")))
+      .withColumn("qv", round(col("v").cast("double") * 1000.0).cast("long"))
+    val planes = q.select(col("vec_id"), col("i"), col("qv"),
+        explode(sequence(lit(0), lit(nPlanes - 1))).as("b"))
+      .withColumn("w", (col("b") * 7919L + col("i") * 104729L) % 97L - 48L)
+    val bits = planes.groupBy("vec_id", "b").agg(sum(col("qv") * col("w")).as("s"))
+    val buckets = bits.groupBy("vec_id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, cast(b as int))"))
+        .otherwise(0L)).as("bucket"))
+    buckets.groupBy("bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** IVF-style ANN: search only the query's coarse partition (here the
+    * `label` column stands in for the cluster assignment). */
+  def ivfTopK(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val qLabel = emb.where(col("vec_id") === queryVecId)
+      .select("label").head().getInt(0)
+    cosineTopKWithin(emb.where(col("label") === qLabel), queryVecId, k)
+  }
+
+  private def cosineTopKWithin(emb: DataFrame, queryVecId: Long, k: Int): DataFrame =
+    cosineTopK(emb, queryVecId, k)
+}
