@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analysis.Analyzer
-import graft.model.{CodeDoc, CorpusStats}
+import graft.codec.PostingsCodec
+import graft.model.{CodeDoc, CorpusStats, Posting, PostingBlock}
 
 /** Build configuration.
   *
@@ -23,7 +24,29 @@ import graft.model.{CodeDoc, CorpusStats}
   */
 final case class IndexConfig(
     shardSizeDocs: Long = 1L << 20,
-    buildPartitions: Int = 0) // 0 = leave to spark.sql.shuffle.partitions
+    buildPartitions: Int = 0, // 0 = leave to spark.sql.shuffle.partitions
+    /** docID order: false = canonical docKey sort (range shuffle;
+      * stable across any input layout); true = input order (ZERO
+      * shuffle — ids from per-partition offsets, deterministic for a
+      * deterministic source layout; ≙ the reference's insertion-order
+      * ++documentId, HBaseIndexStore.java:138). At 10^12 files the
+      * input-order mode avoids shuffling the full corpus just to
+      * label it. */
+    docIdsFromInputOrder: Boolean = false,
+    /** Posting build strategy:
+      *  - "segment" (default): map-side partial posting segments —
+      *    each input partition encodes complete partial posting lists
+      *    locally (the reference's segment/commit-batch model,
+      *    SegmentInfo.java:27-53, re-expressed); only the ENCODED
+      *    bytes shuffle (~10× less than raw occurrences) and, because
+      *    docIds are partition-contiguous, the reduce side merges by
+      *    pure concatenation in minDoc order — no re-sort.
+      *  - "sort": Tungsten shuffle of raw occurrence rows + radix
+      *    sort + streaming group encode.
+      *  - "agg": typed-Aggregator path (kryo buffers; slowest).
+      * All three must produce identical tables (cross-validated in
+      * tests). */
+    buildMode: String = "segment")
 
 /** The built index: four logical tables (SURVEY.md §1.6).
   *
@@ -32,12 +55,17 @@ final case class IndexConfig(
   *   termStats — (field, term, df, cf, maxTf)   [global, shards merged]
   *   stats     — broadcastable corpus stats (N, avgdl)
   */
-final case class InvertedIndex(
-    docs: DataFrame,
-    postings: DataFrame,
-    termStats: DataFrame,
-    stats: CorpusStats,
-    config: IndexConfig) {
+final class InvertedIndex(
+    val docs: DataFrame,
+    val postings: DataFrame,
+    val termStats: DataFrame,
+    statsThunk: () => CorpusStats,
+    val config: IndexConfig) {
+
+  /** Corpus stats are LAZY: computed on first query, not at build
+    * time — the build/write path derives them from the written docs
+    * table instead of forcing an extra full pass over the corpus. */
+  lazy val stats: CorpusStats = statsThunk()
 
   def cache(): InvertedIndex = {
     docs.cache(); postings.cache(); termStats.cache(); this
@@ -45,6 +73,15 @@ final case class InvertedIndex(
   def unpersist(): Unit = {
     docs.unpersist(); postings.unpersist(); termStats.unpersist()
   }
+}
+
+object InvertedIndex {
+  def apply(docs: DataFrame, postings: DataFrame, termStats: DataFrame,
+      stats: CorpusStats, config: IndexConfig): InvertedIndex =
+    new InvertedIndex(docs, postings, termStats, () => stats, config)
+  def lazyStats(docs: DataFrame, postings: DataFrame, termStats: DataFrame,
+      statsThunk: () => CorpusStats, config: IndexConfig): InvertedIndex =
+    new InvertedIndex(docs, postings, termStats, statsThunk, config)
 }
 
 /** Index build DAG (SURVEY.md §3.1 "Spark shape"):
@@ -88,6 +125,167 @@ object IndexBuilder {
     }
   }
 
+  /** Map-side partial posting segments: each input partition
+    * tokenizes its docs and encodes COMPLETE partial posting lists
+    * locally, emitting one compact row per (field, term, shard) with
+    * the already-encoded blocks. Only these bytes shuffle (~10× less
+    * than raw occurrence rows). Requires rows docId-ordered within
+    * the partition (true for both docID modes). */
+  private def segmentPartials(
+      spark: SparkSession,
+      slim: DataFrame,
+      tokenized: Seq[String],
+      untokenized: Seq[String],
+      shardSize: Long): DataFrame = {
+    import spark.implicits._
+    val tokSet = tokenized.toSet
+    slim.mapPartitions { rows =>
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[(String, String), scala.collection.mutable.ArrayBuffer[Posting]]
+      rows.foreach { row =>
+        val docId = row.getAs[Long]("docId")
+        val tok = tokenized.map(f => (f, row.getAs[String](f)))
+        val untok = untokenized.map(f => (f, row.getAs[String](f)))
+        analyzeDoc(docId, tok.filter(t => tokSet.contains(t._1)), untok)
+          .foreach { case (f, t, d, tf, ps) =>
+            acc.getOrElseUpdate((f, t),
+              scala.collection.mutable.ArrayBuffer.empty[Posting]) +=
+              Posting(d, tf, ps.toArray)
+          }
+      }
+      acc.iterator.flatMap { case ((f, t), ps) =>
+        // split the docId-ordered run by shard boundary, encode each
+        var i = 0
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long, Long, Long, Int, Seq[PostingBlock])]
+        while (i < ps.length) {
+          val shard = ps(i).docId / shardSize
+          var j = i
+          var cf = 0L; var maxTf = 0
+          while (j < ps.length && ps(j).docId / shardSize == shard) {
+            cf += ps(j).tf; if (ps(j).tf > maxTf) maxTf = ps(j).tf
+            j += 1
+          }
+          val blocks = PostingsCodec.encodeBlocks(ps.slice(i, j).toIndexedSeq)
+          out += ((f, t, shard, (j - i).toLong, cf, maxTf, blocks.toSeq))
+          i = j
+        }
+        out.iterator
+      }
+    }.toDF("field", "term", "shard", "df", "cf", "maxTf", "blocks")
+  }
+
+  /** Merge partial segments per (field, term, shard): pure block-list
+    * concatenation in minDoc order (partials are docId-range disjoint
+    * because docIds are contiguous per input partition) — the
+    * reference's segment merge with zero re-encode. */
+  private def mergeSegments(
+      spark: SparkSession,
+      partials: DataFrame,
+      cfg: IndexConfig): DataFrame = {
+    val in =
+      if (cfg.buildPartitions > 0)
+        partials.repartition(cfg.buildPartitions, col("field"), col("term"), col("shard"))
+      else partials
+    in.withColumn("firstDoc", col("blocks")(0)("minDoc"))
+      .groupBy("field", "term", "shard")
+      .agg(
+        sum("df").as("df"), sum("cf").as("cf"), max("maxTf").as("maxTf"),
+        flatten(transform(
+          sort_array(collect_list(struct(col("firstDoc"), col("blocks")))),
+          x => x.getField("blocks"))).as("blocks"))
+  }
+
+  /** Sort-based posting build: one Tungsten hash shuffle of the raw
+    * occurrence rows on (field, term, shard), radix sort within
+    * partitions by (field, term, shard, docId), then a streaming
+    * group-encode in mapPartitions — memory bounded by one group
+    * (≤ shardSize postings), no serialized aggregation buffers.
+    * The classic MapReduce index build (≙ the reference's map →
+    * shuffle-by-term → reduce writes index,
+    * create/mapred/BuildTableIndex.java:80-136), expressed on
+    * Tungsten. */
+  private def sortBasedPostings(
+      spark: SparkSession,
+      occs: org.apache.spark.sql.DataFrame,
+      cfg: IndexConfig): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val nPart = if (cfg.buildPartitions > 0) cfg.buildPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = occs
+      .repartition(nPart, col("field"), col("term"), col("shard"))
+      .sortWithinPartitions("field", "term", "shard", "docId")
+      .select("field", "term", "shard", "docId", "tf", "positions")
+      .as[(String, String, Long, Long, Int, Seq[Int])]
+    sorted.mapPartitions { it =>
+      new Iterator[(String, String, Long, Long, Long, Int, Seq[PostingBlock])] {
+        private val buf = scala.collection.mutable.ArrayBuffer.empty[Posting]
+        private var cur: (String, String, Long) = null
+        private var pending: (String, String, Long, Long, Int, Seq[Int]) = null
+
+        private def emit() = {
+          val ps = buf.toIndexedSeq
+          val blocks = PostingsCodec.encodeBlocks(ps)
+          var cf = 0L; var maxTf = 0
+          ps.foreach { p => cf += p.tf; if (p.tf > maxTf) maxTf = p.tf }
+          val out = (cur._1, cur._2, cur._3, ps.length.toLong, cf, maxTf,
+            blocks.toSeq)
+          buf.clear()
+          out
+        }
+
+        def hasNext: Boolean = pending != null || it.hasNext || buf.nonEmpty
+
+        def next(): (String, String, Long, Long, Long, Int, Seq[PostingBlock]) = {
+          while (true) {
+            val row = if (pending != null) { val r = pending; pending = null; r }
+              else if (it.hasNext) it.next()
+              else { return emit() } // flush last group
+            val key = (row._1, row._2, row._3)
+            if (cur == null) cur = key
+            if (key == cur) {
+              buf += Posting(row._4, row._5, row._6.toArray)
+            } else {
+              pending = row
+              val out = emit()
+              cur = key
+              return out
+            }
+          }
+          throw new IllegalStateException("unreachable")
+        }
+      }
+    }.toDF("field", "term", "shard", "df", "cf", "maxTf", "blocks")
+  }
+
+  /** Typed-Aggregator posting build (SURVEY.md §7.3) — retained for
+    * cross-validation against the sort-based path. */
+  private def aggBasedPostings(
+      occs: org.apache.spark.sql.DataFrame,
+      cfg: IndexConfig): org.apache.spark.sql.DataFrame = {
+    val agg = udaf(new PostingAggregator())
+    val in =
+      if (cfg.buildPartitions > 0)
+        occs.repartition(cfg.buildPartitions, col("field"), col("term"), col("shard"))
+      else occs
+    in.groupBy(col("field"), col("term"), col("shard"))
+      .agg(agg(col("docId"), col("tf"), col("positions")).as("p"))
+      .select(
+        col("field"), col("term"), col("shard"),
+        col("p.df").as("df"), col("p.cf").as("cf"),
+        col("p.maxTf").as("maxTf"), col("p.blocks").as("blocks"))
+  }
+
+  /** Dense docIDs in INPUT order — zero shuffle. Per-partition local
+    * ordinals from monotonically_increasing_id + broadcast offsets;
+    * deterministic for a deterministic source partitioning (parquet
+    * splits, range()); NOT cached — the two passes (offset count +
+    * downstream) recompute the narrow source, which is cheaper than
+    * materializing the corpus as objects. */
+  def assignDocIdsInputOrder(df: DataFrame): DataFrame =
+    addOffsets(df.withColumn("_mid", monotonically_increasing_id()),
+      cache = false)
+
   /** Dense, deterministic docID assignment without a single-point sort
     * (SURVEY.md §7.4 #2): range-partition by the natural key, sort
     * within partitions, take the intra-partition ordinal from
@@ -96,13 +294,17 @@ object IndexBuilder {
     * the shuffled data, no global bottleneck; stable under re-runs for
     * fixed input. */
   def assignDocIds(df: DataFrame, keyCols: Seq[String], nPartitions: Int): DataFrame = {
-    val sorted = df
+    addOffsets(df
       .repartitionByRange(math.max(nPartitions, 1), keyCols.map(col): _*)
       .sortWithinPartitions(keyCols.map(col): _*)
-      .withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_mid", monotonically_increasing_id()), cache = true)
+  }
+
+  private def addOffsets(withMid: DataFrame, cache: Boolean): DataFrame = {
+    val sorted = withMid
       .withColumn("_pid", shiftright(col("_mid"), 33))
       .withColumn("_local", col("_mid").bitwiseAND(lit((1L << 33) - 1)))
-    sorted.cache()
+    if (cache) sorted.cache()
     val counts = sorted.groupBy("_pid").count().collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     var off = 0L
@@ -128,7 +330,9 @@ object IndexBuilder {
     val keyed = ds.toDF()
       .withColumn("docKey",
         concat_ws("", col("repo"), lit("/"), col("path"), lit("@"), col("commit")))
-    val withIds = assignDocIds(keyed, Seq("docKey"), nPart)
+    val withIds =
+      if (cfg.docIdsFromInputOrder) assignDocIdsInputOrder(keyed)
+      else assignDocIds(keyed, Seq("docKey"), nPart)
     val docs = withIds
       .withColumn("content_sha256", sha2(col("content"), 256))
       .withColumn("dl", docLenUdf(col("content")))
@@ -186,33 +390,28 @@ object IndexBuilder {
       .toDF("field", "term", "docId", "tf", "positions")
       .withColumn("shard", (col("docId") / lit(shardSize)).cast("long"))
 
-    val agg = udaf(new PostingAggregator())
-    val grouped = {
-      val g = occs.groupBy(col("field"), col("term"), col("shard"))
-        .agg(agg(col("docId"), col("tf"), col("positions")).as("p"))
-      if (cfg.buildPartitions > 0)
-        occs.repartition(cfg.buildPartitions, col("field"), col("term"), col("shard"))
-          .groupBy(col("field"), col("term"), col("shard"))
-          .agg(agg(col("docId"), col("tf"), col("positions")).as("p"))
-      else g
+    val postings = cfg.buildMode match {
+      case "segment" =>
+        mergeSegments(spark,
+          segmentPartials(spark, slim, tokenized, untokenized, shardSize), cfg)
+      case "sort" => sortBasedPostings(spark, occs, cfg)
+      case _ => aggBasedPostings(occs, cfg)
     }
-    val postings = grouped.select(
-      col("field"), col("term"), col("shard"),
-      col("p.df").as("df"), col("p.cf").as("cf"),
-      col("p.maxTf").as("maxTf"), col("p.blocks").as("blocks"))
 
     // Global dictionary stats — shards merged by a light aggregation
     // (no payload movement; ≙ reference docFreq, HBaseIndexReader.java:135-155).
     val termStats = postings.groupBy("field", "term").agg(
       sum("df").as("df"), sum("cf").as("cf"), max("maxTf").as("maxTf"))
 
-    // Corpus stats (reference counter rows, HBaseIndexReader.java:231-266).
-    val st = docs.agg(
-      count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"))
-      .collect()(0)
-    val stats = CorpusStats(st.getLong(0),
-      if (st.isNullAt(1)) 0.0 else st.getDouble(1))
-
-    InvertedIndex(docs, postings, termStats, stats, cfg)
+    // Corpus stats (reference counter rows, HBaseIndexReader.java:231-266)
+    // — computed lazily on first query access, from the dl column only.
+    val docsForStats = docs
+    InvertedIndex.lazyStats(docs, postings, termStats, () => {
+      val st = docsForStats.agg(
+        count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"))
+        .collect()(0)
+      CorpusStats(st.getLong(0),
+        if (st.isNullAt(1)) 0.0 else st.getDouble(1))
+    }, cfg)
   }
 }

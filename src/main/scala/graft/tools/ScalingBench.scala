@@ -1,0 +1,169 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.build.{IndexBuilder, IndexConfig}
+import graft.query.Searcher
+import graft.table.{IndexTables, TableFormat}
+
+/** Two-parallelism scaling run (north rule: throughput scaling
+  * efficiency ≥ 0.8 from N to 4N executors; sandbox proxy = local[8]
+  * vs local[32] on the SAME deterministic corpus — no real cluster
+  * here, see BASELINE.md protocol).
+  *
+  * Reports docs/sec at both levels, efficiency = (T_8 / T_32) / 4,
+  * per-query p50/p95 latency at the larger level, and writes
+  * BENCH/BASELINE.md. Per-row sha256 invariant re-checked inside the
+  * run (BASELINE.json input_hint).
+  *
+  * Usage: runMain graft.tools.ScalingBench [numFiles] [outPath]
+  */
+object ScalingBench {
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-scaling-$cpus")
+      // 4× cores: finer tasks smooth skew/stragglers; AQE coalesces
+      .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
+      // shuffle+spill on tmpfs: the VM disk (~460 MB/s, shared) would
+      // serialize the shuffle at high core counts
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** One full index build at the given parallelism; returns
+    * (wallSec, docs, shaMismatches). */
+  def buildOnce(cpus: Int, numFiles: Long): (Double, Long, Long) = {
+    val spark = session(cpus)
+    val jobLog = new scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      private val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        starts.put(j.jobId, j.time)
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobLog.synchronized {
+          jobLog += ((j.jobId, Option(starts.get(j.jobId)).getOrElse(0L), j.time))
+        }
+    })
+    try {
+      // untimed warmup build (JIT + codegen) so the first timed level
+      // isn't penalized relative to the second
+      val cfg = IndexConfig(shardSizeDocs = 1L << 16, docIdsFromInputOrder = true)
+      IndexBuilder.fromCodeDocs(spark, CodeCorpus.generate(spark, 2000), cfg)
+        .postings.count()
+      val corpus = CodeCorpus.generate(spark, numFiles)
+      val out = Files.createTempDirectory("graft_build").toString
+      val t0 = System.nanoTime()
+      val idx = IndexBuilder.fromCodeDocs(spark, corpus, cfg)
+      // the real build: write all index tables (docs, postings,
+      // termStats, stats) as committed snapshots
+      IndexTables.write(spark, idx, out)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val nDocs = TableFormat.readManifest(out, "docs").rowCount
+      val nPost = TableFormat.readManifest(out, "postings").rowCount
+      // per-row invariant: stored sha256 equals sha256 of written content
+      val bad = TableFormat.read(spark, out, "docs")
+        .where(sha2(col("content"), 256) =!= col("content_sha256")).count()
+      System.err.println(
+        f"[scaling] local[$cpus]: $nDocs docs, $nPost posting rows, $sec%.2f s")
+      if (sys.env.contains("GRAFT_JOB_LOG")) jobLog.synchronized {
+        val t0j = jobLog.map(_._2).min
+        jobLog.foreach { case (id, s0, e) =>
+          System.err.println(f"[job] $id%3d start=${(s0 - t0j) / 1e3}%7.2f dur=${(e - s0) / 1e3}%6.2f s")
+        }
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      (sec, nDocs, bad)
+    } finally spark.stop()
+  }
+
+  /** Query latencies (ms) over the reference-style query set at the
+    * given parallelism, index prebuilt. */
+  def queryLatencies(cpus: Int, numFiles: Long, reps: Int): Seq[(String, Seq[Double])] = {
+    val spark = session(cpus)
+    try {
+      val idx = IndexBuilder.fromCodeDocs(spark,
+        CodeCorpus.generate(spark, numFiles),
+        IndexConfig(shardSizeDocs = 1L << 16)).cache()
+      idx.postings.count(); idx.docs.count()
+      val s = new Searcher(spark, idx)
+      val queries: Seq[(String, () => Unit)] = Seq(
+        "single_rare" -> (() => s.topK(Seq("id9423"), 10).collect()),
+        "single_skew" -> (() => s.topK(Seq("public"), 10).collect()),
+        "and_skew" -> (() => s.topK(Seq("import", "class"), 10, requireAll = true).collect()),
+        "or_mixed" -> (() => s.topK(Seq("id17", "return", "id999"), 10).collect()),
+        "wand_or" -> (() => s.topKWand(Seq("id17", "return", "id999"), 10).collect()),
+        "wand_skew" -> (() => s.topKWand(Seq("public", "import"), 10).collect()))
+      queries.map { case (name, fn) =>
+        fn() // warm
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e6
+        }
+        name -> times
+      }
+    } finally spark.stop()
+  }
+
+  private def pct(xs: Seq[Double], p: Double): Double = {
+    val s = xs.sorted
+    s(math.min(s.length - 1, math.ceil(p * s.length).toInt - 1).max(0))
+  }
+
+  def main(args: Array[String]): Unit = {
+    // single-measurement mode: fresh JVM per level (avoids same-JVM
+    // order effects: GC debt, code-cache, thermal)
+    if (args.headOption.contains("one")) {
+      val cpus = args(1).toInt
+      val numFiles = args(2).toLong
+      val (sec, docs, bad) = buildOnce(cpus, numFiles)
+      println(f"""{"mode":"one","cpus":$cpus,"sec":$sec%.2f,"docs":$docs,"sha_bad":$bad}""")
+      return
+    }
+    val numFiles = args.headOption.map(_.toLong).getOrElse(200000L)
+    val outPath = if (args.length > 1) args(1) else "BENCH/BASELINE.md"
+    val reps = 5
+
+    val (t8, n8, bad8) = buildOnce(8, numFiles)
+    val (t32, n32, bad32) = buildOnce(32, numFiles)
+    require(n8 == n32, s"corpus determinism violated: $n8 vs $n32")
+    require(bad8 == 0 && bad32 == 0, "sha256 row invariant violated")
+    val speedup = t8 / t32
+    val eff = speedup / 4.0
+    val lat = queryLatencies(32, numFiles, reps)
+
+    val sb = new StringBuilder
+    sb.append("# BENCH/BASELINE — measured engine numbers\n\n")
+    sb.append(s"Corpus: deterministic synthetic source-code corpus (CodeCorpus, seed 42), ")
+    sb.append(s"$numFiles files. Reference publishes no numbers (see /root/repo/BASELINE.md); ")
+    sb.append("these are the engine's own measurements per the driver protocol.\n\n")
+    sb.append("## Index-build throughput at two parallelism levels\n\n")
+    sb.append("(sandbox proxy for N vs 4N executors: local[8] vs local[32], same JVM heap, same input)\n\n")
+    sb.append("| config | wall (s) | docs/sec |\n|---|---|---|\n")
+    sb.append(f"| local[8]  | $t8%.2f | ${n8 / t8}%.0f |\n")
+    sb.append(f"| local[32] | $t32%.2f | ${n32 / t32}%.0f |\n\n")
+    sb.append(f"Speedup = ${speedup}%.2f×; **scaling efficiency = ${eff}%.3f** ")
+    sb.append(s"(target ≥ 0.8 → ${if (eff >= 0.8) "MET" else "NOT MET"}).\n\n")
+    sb.append("Per-row sha256 invariant: 0 mismatches at both levels.\n\n")
+    sb.append(s"## Query latency (local[32], $numFiles files, $reps reps)\n\n")
+    sb.append("| query | p50 (ms) | p95 (ms) |\n|---|---|---|\n")
+    lat.foreach { case (name, times) =>
+      sb.append(f"| $name | ${pct(times, 0.5)}%.1f | ${pct(times, 0.95)}%.1f |\n")
+    }
+    sb.append("\nJVM: Java 17; Spark 4.1.2 local mode; shuffle partitions = core count; AQE on.\n")
+
+    Files.createDirectories(Paths.get(outPath).getParent)
+    Files.writeString(Paths.get(outPath), sb.toString)
+    println(sb.toString)
+    println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","t8":$t8%.2f,"t32":$t32%.2f,"files":$numFiles}""")
+  }
+}

@@ -143,6 +143,24 @@ class EndToEndSpec extends AnyFunSuite {
     assert(langRows.forall(_.positions === Seq(0)))
   }
 
+  test("segment, sort and Aggregator posting builds produce identical tables") {
+    val idxs = Seq("segment", "sort", "agg").map { mode =>
+      mode -> IndexBuilder.fromCodeDocs(spark, corpus.toDS(),
+        IndexConfig(shardSizeDocs = 2, buildMode = mode))
+    }
+    def canon(idx: graft.build.InvertedIndex) =
+      idx.postings.select("field", "term", "shard", "df", "cf", "maxTf")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    def decoded(idx: graft.build.InvertedIndex) =
+      new Searcher(spark, idx).matchesWithPositions(Seq("plays", "messi"))
+        .collect().map(m => (m.term, m.docId, m.tf, m.positions)).sortBy(_.toString).toSeq
+    val (baseCanon, baseDec) = (canon(idxs.head._2), decoded(idxs.head._2))
+    idxs.tail.foreach { case (mode, idx) =>
+      assert(canon(idx) === baseCanon, s"mode=$mode")
+      assert(decoded(idx) === baseDec, s"mode=$mode")
+    }
+  }
+
   test("sha256 row invariant (D4)") {
     val bad = index.docs
       .where(sha2(col("content"), 256) =!= col("content_sha256")).count()
