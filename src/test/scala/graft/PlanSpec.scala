@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.build.{IndexBuilder, IndexConfig}
+import graft.model.CodeDoc
+import graft.query.Searcher
+import graft.table.IndexTables
+
+/** Physical-plan quality gates: the layouts/pushdowns we rely on at
+  * scale must actually appear in the plan (a correct-but-full-scan
+  * query would silently pass result tests). */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val diskIndex = {
+    val dir = Files.createTempDirectory("graft_plan").toString
+    val docs = (0 until 300).map(i =>
+      CodeDoc("r", s"f$i", "c", "scala", s"alpha beta id$i gamma merge"))
+    val idx = IndexBuilder.fromCodeDocs(spark, docs.toDS(),
+      IndexConfig(shardSizeDocs = 128))
+    IndexTables.write(spark, idx, dir)
+    IndexTables.load(spark, dir)
+  }
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("term lookup pushes field+term predicates into the parquet scan") {
+    val s = new Searcher(spark, diskIndex)
+    val plan = planOf(s.postingRows(Seq("merge")).toDF())
+    assert(plan.contains("PushedFilters"), plan.take(500))
+    assert(plan.contains("EqualTo(field,content)")
+      || plan.contains("IsNotNull(term)"), plan.take(1500))
+    // column pruning: the scan must NOT read the blocks payload for
+    // a dictionary-only projection
+    val dictPlan = planOf(diskIndex.postings.select("field", "term", "df")
+      .where(org.apache.spark.sql.functions.col("term") === "merge"))
+    assert(!dictPlan.contains("blocks"), dictPlan.take(1500))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (no full sort)") {
+    val s = new Searcher(spark, diskIndex)
+    val plan = planOf(s.topK(Seq("merge", "alpha"), 5))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
+
+  test("docs fetch after rank is a broadcast join of the tiny hit set") {
+    val s = new Searcher(spark, diskIndex)
+    val fetched = s.fetch(s.topK(Seq("merge"), 3), Seq("path"))
+    fetched.collect() // run with AQE so the final plan materializes
+    val plan = fetched.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      plan.take(2000))
+  }
+
+  test("whole-stage codegen covers the scoring pipeline") {
+    val s = new Searcher(spark, diskIndex)
+    val df = s.scoredDocs(Seq("merge"), graft.query.BM25())
+    df.collect() // AQE finalizes the plan only at execution
+    // "*(n)" is the WholeStageCodegen marker in plan toString; the
+    // BM25 arithmetic must live inside a codegen'd Project stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan.take(1500))
+    assert("\\*\\(\\d+\\) Project \\[.*ln".r.findFirstIn(plan).isDefined
+      || plan.contains("WholeStageCodegen"), plan.take(1500))
+  }
+}
