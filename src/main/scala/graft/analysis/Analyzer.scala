@@ -37,22 +37,47 @@ object Analyzer extends Serializable {
   val stopWordsSqlList: String =
     EnglishStopWords.toSeq.sorted.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  private[this] val tokenRe = "[a-z0-9_]+".r
+  @inline private def isTokenChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'
+
+  /** Longest stop word is 5 chars — cheap pre-filter in hot loops. */
+  private val MaxStopLen = EnglishStopWords.map(_.length).max
+
+  /** Direct char-scan over the lowercased text (no regex/Match
+    * allocation — this is the build hot path). Calls f(term, pos) for
+    * every RAW token, stop words included, pos 1-based. */
+  @inline def scanRaw(text: String)(f: (String, Int) => Unit): Unit = {
+    if (text == null) return
+    val s = text.toLowerCase
+    val n = s.length
+    var i = 0
+    var pos = 0
+    while (i < n) {
+      while (i < n && !isTokenChar(s.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && isTokenChar(s.charAt(i))) i += 1
+        pos += 1
+        f(s.substring(start, i), pos)
+      }
+    }
+  }
 
   /** Raw tokens (lowercased, split), stop words INCLUDED — position
     * source of truth. */
-  def rawTokens(text: String): Iterator[String] =
-    if (text == null) Iterator.empty
-    else tokenRe.findAllIn(text.toLowerCase)
+  def rawTokens(text: String): Iterator[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    scanRaw(text)((t, _) => out += t)
+    out.iterator
+  }
 
   /** Tokenize one field value → (term, position) pairs, stop words
     * removed, positions 1-based counting stopword gaps. */
   def tokenize(text: String): Seq[(String, Int)] = {
     val out = Seq.newBuilder[(String, Int)]
-    var pos = 0
-    rawTokens(text).foreach { t =>
-      pos += 1
-      if (!EnglishStopWords.contains(t)) out += ((t, pos))
+    scanRaw(text) { (t, pos) =>
+      if (t.length > MaxStopLen || !EnglishStopWords.contains(t))
+        out += ((t, pos))
     }
     out.result()
   }
@@ -62,10 +87,12 @@ object Analyzer extends Serializable {
     tokenize(text).map { case (t, p) => TermOcc(field, t, p) }
 
   /** Emitted-token count (document length for BM25's dl): number of
-    * non-stopword tokens. */
+    * non-stopword tokens. Allocation-light. */
   def docLen(text: String): Int = {
     var n = 0
-    rawTokens(text).foreach(t => if (!EnglishStopWords.contains(t)) n += 1)
+    scanRaw(text) { (t, _) =>
+      if (t.length > MaxStopLen || !EnglishStopWords.contains(t)) n += 1
+    }
     n
   }
 }

@@ -2,6 +2,7 @@ package graft.build
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 import graft.analysis.Analyzer
 import graft.codec.PostingsCodec
@@ -46,7 +47,14 @@ final case class IndexConfig(
       *  - "agg": typed-Aggregator path (kryo buffers; slowest).
       * All three must produce identical tables (cross-validated in
       * tests). */
-    buildMode: String = "segment")
+    buildMode: String = "segment",
+    /** Store the raw content column in the docs table. The reference
+      * does NOT store analyzed fields (content was indexed, not
+      * stored — AbstractHBaseneTest.java:99-113); at corpus scale the
+      * index should carry metadata (docKey, dl, sha256, stored
+      * fields) and leave the text in the source table. Kept on by
+      * default for API convenience on small tables. */
+    storeContent: Boolean = true)
 
 /** The built index: four logical tables (SURVEY.md §1.6).
   *
@@ -154,6 +162,15 @@ object IndexBuilder {
           }
       }
       acc.iterator.flatMap { case ((f, t), ps) =>
+        // rows are usually docId-ordered within a partition, but file
+        // bin-packing can interleave ranges — verify, sort if needed
+        var sorted = true
+        var c = 1
+        while (sorted && c < ps.length) {
+          if (ps(c - 1).docId > ps(c).docId) sorted = false
+          c += 1
+        }
+        if (!sorted) ps.sortInPlace()(Ordering.by((p: Posting) => p.docId))
         // split the docId-ordered run by shard boundary, encode each
         var i = 0
         val out = scala.collection.mutable.ArrayBuffer
@@ -181,6 +198,12 @@ object IndexBuilder {
     * reference's segment merge with zero re-encode. */
   private def mergeSegments(
       spark: SparkSession,
+      partials: DataFrame,
+      cfg: IndexConfig): DataFrame = mergeSegmentRows(partials, cfg)
+
+  /** Public segment merge — also used by the streaming ingester to
+    * combine per-micro-batch partial postings. */
+  def mergeSegmentRows(
       partials: DataFrame,
       cfg: IndexConfig): DataFrame = {
     val in =
@@ -274,6 +297,42 @@ object IndexBuilder {
         col("field"), col("term"), col("shard"),
         col("p.df").as("df"), col("p.cf").as("cf"),
         col("p.maxTf").as("maxTf"), col("p.blocks").as("blocks"))
+  }
+
+  /** Build straight from a parquet table of CodeDocs with docIDs
+    * derived from FILE METADATA: per-file base offsets come from the
+    * parquet footers (driver-side metadata reads, no Spark job) and
+    * the in-file ordinal from the `_metadata.row_index` column — so
+    * dense, deterministic docIDs cost ZERO extra passes and zero
+    * shuffle. Files are ordered by name (parquet part files sort
+    * correctly). This is the intended 10^12-file entry point: the
+    * catalog's file manifest plays the role of the offset table. */
+  def fromParquetTable(
+      spark: SparkSession,
+      path: String,
+      cfg: IndexConfig = IndexConfig()): InvertedIndex = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+      .iterator().asScala.map(_.toString)
+      .filter(_.endsWith(".parquet")).toSeq.sorted
+    var off = 0L
+    val offsets = files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val n = try r.getRecordCount finally r.close()
+      val name = java.nio.file.Paths.get(f).getFileName.toString
+      val o = (name, off); off += n; o
+    }.toMap
+    val offsetUdf = udf((name: String) => offsets(name))
+    val withIds = spark.read.parquet(path)
+      .withColumn("docKey",
+        concat_ws("", col("repo"), lit("/"), col("path"), lit("@"), col("commit")))
+      .withColumn("docId",
+        offsetUdf(col("_metadata.file_name")) + col("_metadata.row_index"))
+      .withColumn("content_sha256", sha2(col("content"), 256))
+      .withColumn("dl", docLenUdf(col("content")))
+    build(spark, withIds, Seq(TokenizedField), Seq("path", "lang"), cfg)
   }
 
   /** Dense docIDs in INPUT order — zero shuffle. Per-partition local
@@ -374,6 +433,11 @@ object IndexBuilder {
     val shardSize = cfg.shardSizeDocs
     val fieldCols = (tokenized ++ untokenized).distinct
     val slim = docs.select((Seq("docId") ++ fieldCols).map(col): _*)
+    // drop the analyzed text from the STORED docs table when asked —
+    // the index carries metadata; the corpus stays in the source table
+    val storedDocs =
+      if (cfg.storeContent) docs
+      else docs.drop(TokenizedField)
 
     // B1+B2 in one narrow pass: tokenize + doc-local (field,term) agg.
     val tokSet = tokenized.toSet
@@ -405,8 +469,8 @@ object IndexBuilder {
 
     // Corpus stats (reference counter rows, HBaseIndexReader.java:231-266)
     // — computed lazily on first query access, from the dl column only.
-    val docsForStats = docs
-    InvertedIndex.lazyStats(docs, postings, termStats, () => {
+    val docsForStats = storedDocs
+    InvertedIndex.lazyStats(storedDocs, postings, termStats, () => {
       val st = docsForStats.agg(
         count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"))
         .collect()(0)

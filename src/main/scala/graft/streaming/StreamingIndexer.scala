@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+
+import graft.build.{IndexBuilder, IndexConfig, InvertedIndex}
+import graft.model.CorpusStats
+import graft.table.TableFormat
+
+/** Incremental index ingestion on Structured Streaming.
+  *
+  * The reference's synchronous commit-batch model (buffer
+  * maxCommitDocs docs → flush a segment, hbasene
+  * HBaseIndexStore.java:147-213) becomes: each micro-batch builds a
+  * complete partial index (docs + encoded posting partials) and
+  * commits it as one SEGMENT snapshot pair under the index root.
+  * foreachBatch + manifest-gated writes give exactly-once on replay
+  * (a re-delivered batchId finds its manifests committed and
+  * skips — same idempotence the resume path uses).
+  *
+  * `loadMerged` unions all segments: postings merge by pure block
+  * concatenation, which requires batches to carry NON-OVERLAPPING
+  * docId ranges (true for monotone id assignment upstream, e.g. an
+  * append-only table with increasing ids). Overlapping ranges would
+  * need a decode-merge compaction (future work — flagged at load).
+  */
+object StreamingIndexer {
+
+  /** Attach the indexer to a streaming DataFrame with columns
+    * (idCol: long-castable, textCol: string, untokenized...: string).
+    * Caller starts/stops the returned writer. */
+  def writer(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      untokenized: Seq[String],
+      root: String,
+      cfg: IndexConfig = IndexConfig()): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val idx = IndexBuilder.fromText(spark, batch, idCol, textCol,
+          untokenized, cfg)
+        TableFormat.write(spark, idx.docs, root, s"docs-b$batchId",
+          snapshotId = batchId + 1)
+        TableFormat.write(spark, idx.postings, root, s"postings-b$batchId",
+          snapshotId = batchId + 1)
+        ()
+      }
+    }
+
+  def start(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      untokenized: Seq[String],
+      root: String,
+      checkpoint: String,
+      cfg: IndexConfig = IndexConfig()): StreamingQuery =
+    writer(stream, idCol, textCol, untokenized, root, cfg)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  private def segmentTables(root: String, prefix: String): Seq[String] =
+    Files.list(Paths.get(root)).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case n if n.startsWith(prefix) && n.endsWith(".manifest.json") =>
+        n.stripSuffix(".manifest.json")
+      }
+      .toSeq.sortBy(n => n.stripPrefix(prefix).toLong)
+
+  /** Merge all committed segments into one queryable index. */
+  def loadMerged(spark: SparkSession, root: String,
+      cfg: IndexConfig = IndexConfig()): InvertedIndex = {
+    val docTables = segmentTables(root, "docs-b")
+    require(docTables.nonEmpty, s"no committed segments under $root")
+    val docs = docTables.map(TableFormat.read(spark, root, _)).reduce(_ union _)
+    val partials = segmentTables(root, "postings-b")
+      .map(TableFormat.read(spark, root, _)).reduce(_ union _)
+    val postings = IndexBuilder.mergeSegmentRows(partials, cfg)
+    val termStats = postings.groupBy("field", "term").agg(
+      sum("df").as("df"), sum("cf").as("cf"), max("maxTf").as("maxTf"))
+    InvertedIndex.lazyStats(docs, postings, termStats, () => {
+      val r = docs.agg(count(lit(1)), avg(col("dl").cast("double"))).collect()(0)
+      CorpusStats(r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+    }, cfg)
+  }
+}

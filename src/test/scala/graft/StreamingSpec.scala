@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.build.{IndexBuilder, IndexConfig}
+import graft.query.Searcher
+import graft.streaming.StreamingIndexer
+
+/** Structured-Streaming incremental ingestion: micro-batch = segment
+  * snapshot; merged index must answer queries identically to a batch
+  * build over the same rows. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def mkDoc(i: Long): (Long, String) =
+    (i, s"alpha merge id$i spark beta gamma${i % 7}")
+
+  test("two micro-batches → merged index ≡ batch index; replay is idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("graft_stream").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val cfg = IndexConfig(shardSizeDocs = 32)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = StreamingIndexer.writer(stream, "doc_id", "text", Nil, root, cfg)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData((0L until 60L).map(mkDoc))
+      q.processAllAvailable()
+      input.addData((60L until 100L).map(mkDoc))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val merged = StreamingIndexer.loadMerged(spark, root, cfg)
+    assert(merged.stats.numDocs === 100)
+
+    val batch = IndexBuilder.fromText(spark,
+      (0L until 100L).map(mkDoc).toDF("doc_id", "text"), "doc_id", "text",
+      Nil, cfg)
+    val sM = new Searcher(spark, merged)
+    val sB = new Searcher(spark, batch)
+    for (terms <- Seq(Seq("merge"), Seq("spark", "gamma3"), Seq("id42"))) {
+      val a = sM.topK(terms, 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val b = sB.topK(terms, 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(a.toSeq === b.toSeq, s"terms=$terms")
+      val w = sM.topKWand(terms, 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(w.toSeq === a.toSeq, s"wand terms=$terms")
+    }
+
+    // idempotent replay: re-running a committed batch is a no-op
+    val before = Files.readString(
+      java.nio.file.Paths.get(root, "postings-b0.manifest.json"))
+    val replayBatch = (0L until 60L).map(mkDoc).toDF("doc_id", "text")
+    val idx = IndexBuilder.fromText(spark, replayBatch, "doc_id", "text", Nil, cfg)
+    graft.table.TableFormat.write(spark, idx.postings, root, "postings-b0", 1L)
+    assert(Files.readString(
+      java.nio.file.Paths.get(root, "postings-b0.manifest.json")) === before)
+  }
+}
