@@ -202,21 +202,38 @@ object IndexBuilder {
       cfg: IndexConfig): DataFrame = mergeSegmentRows(partials, cfg)
 
   /** Public segment merge — also used by the streaming ingester to
-    * combine per-micro-batch partial postings. */
+    * combine per-micro-batch partial postings. Concatenation can
+    * leave fragmented blocks (a df=1000 term across 100 partials →
+    * 100 ten-posting blocks), which wastes metadata and weakens
+    * block-max skipping — under-filled runs are decoded and
+    * re-encoded into full blocks. */
   def mergeSegmentRows(
       partials: DataFrame,
       cfg: IndexConfig): DataFrame = {
+    val spark = partials.sparkSession
+    import spark.implicits._
     val in =
       if (cfg.buildPartitions > 0)
         partials.repartition(cfg.buildPartitions, col("field"), col("term"), col("shard"))
       else partials
-    in.withColumn("firstDoc", col("blocks")(0)("minDoc"))
+    val merged = in.withColumn("firstDoc", col("blocks")(0)("minDoc"))
       .groupBy("field", "term", "shard")
       .agg(
         sum("df").as("df"), sum("cf").as("cf"), max("maxTf").as("maxTf"),
         flatten(transform(
           sort_array(collect_list(struct(col("firstDoc"), col("blocks")))),
           x => x.getField("blocks"))).as("blocks"))
+    merged
+      .as[(String, String, Long, Long, Long, Int, Seq[PostingBlock])]
+      .map { case (f, t, sh, df, cf, maxTf, blocks) =>
+        val compacted =
+          if (blocks.length > 1 && df < blocks.length.toLong * (PostingsCodec.BlockSize / 2))
+            PostingsCodec.encodeBlocks(
+              blocks.iterator.flatMap(PostingsCodec.decodeBlock).toIndexedSeq).toSeq
+          else blocks
+        (f, t, sh, df, cf, maxTf, compacted)
+      }
+      .toDF("field", "term", "shard", "df", "cf", "maxTf", "blocks")
   }
 
   /** Sort-based posting build: one Tungsten hash shuffle of the raw

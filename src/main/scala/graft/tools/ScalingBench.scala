@@ -114,9 +114,12 @@ object ScalingBench {
   def queryLatencies(cpus: Int, numFiles: Long, reps: Int): Seq[(String, Seq[Double])] = {
     val spark = session(cpus)
     try {
-      val idx = IndexBuilder.fromCodeDocs(spark,
-        CodeCorpus.generate(spark, numFiles),
-        IndexConfig(shardSizeDocs = 1L << 16)).cache()
+      val corpusPath = s"/tmp/graft_corpus_$numFiles"
+      if (!Files.exists(Paths.get(corpusPath, "_SUCCESS")))
+        CodeCorpus.generate(spark, numFiles).write.mode("overwrite")
+          .option("compression", "snappy").parquet(corpusPath)
+      val idx = IndexBuilder.fromParquetTable(spark, corpusPath,
+        IndexConfig(shardSizeDocs = 1L << 16, storeContent = false)).cache()
       idx.postings.count(); idx.docs.count()
       val s = new Searcher(spark, idx)
       val queries: Seq[(String, () => Unit)] = Seq(
@@ -149,6 +152,14 @@ object ScalingBench {
       val numFiles = args(2).toLong
       val (sec, docs, bad) = buildOnce(cpus, numFiles)
       println(f"""{"mode":"one","cpus":$cpus,"sec":$sec%.2f,"docs":$docs,"sha_bad":$bad}""")
+      return
+    }
+    if (args.headOption.contains("queries")) {
+      val cpus = args(1).toInt
+      val numFiles = args(2).toLong
+      queryLatencies(cpus, numFiles, 7).foreach { case (name, times) =>
+        println(f"""{"query":"$name","p50":${pct(times, 0.5)}%.1f,"p95":${pct(times, 0.95)}%.1f}""")
+      }
       return
     }
     val numFiles = args.headOption.map(_.toLong).getOrElse(200000L)
