@@ -53,6 +53,21 @@ final class TermIterator(
     if (di >= decoded.length) { bi += 1; di = 0; decodeCur(); advanceTo(target) }
   }
 
+  /** Bulk read (reference TermDocs.read(docs[], freqs[]) contract,
+    * hbasene HBaseTermPositions.java:139-152 /
+    * TestHBaseTermPositions.java:67-129): fill both arrays up to
+    * their length, return the count; 0 once exhausted. */
+  def read(docs: Array[Long], freqs: Array[Int]): Int = {
+    var n = 0
+    while (n < docs.length && !exhausted) {
+      docs(n) = curDoc
+      freqs(n) = curTf
+      next()
+      n += 1
+    }
+    n
+  }
+
   private def decodeCur(): Unit =
     if (bi < blocks.length) decoded = PostingsCodec.decodeDocTf(blocks(bi))
 }

@@ -33,6 +33,18 @@ object Demo {
     val s = new Searcher(spark, index)
     println(s"[dict] ${s.termEnum(terms.head.take(1), 5).collect().mkString(", ")}")
     println(s"[df]   ${s.docFreqs(terms)}")
+    // C2 bulk-read iteration (reference TermDocs.read contract)
+    locally {
+      val rows = s.postingRows(terms.take(1)).collect().sortBy(_.shard)
+      if (rows.nonEmpty) {
+        val it = new graft.query.TermIterator(terms.head, rows.map(_.df).sum.toDouble,
+          1.0, BM25(), index.stats, rows.flatMap(_.blocks).toArray)
+        val (docs, tfs) = (new Array[Long](8), new Array[Int](8))
+        val chunks = Iterator.continually(it.read(docs, tfs)).takeWhile(_ > 0).toSeq
+        println(s"[read]  '${terms.head}' chunks=${chunks.mkString("+")} " +
+          s"total=${chunks.sum}")
+      }
+    }
     def show(tag: String, df: org.apache.spark.sql.DataFrame): Unit =
       println(s"[$tag] " + df.collect().map(_.toSeq.mkString(":")).mkString(" | "))
     show("or/bm25 ", s.topK(terms, 5))

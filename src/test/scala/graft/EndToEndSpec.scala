@@ -66,6 +66,30 @@ class EndToEndSpec extends AnyFunSuite {
     m.foreach(r => assert(r.positions.length === r.tf))
   }
 
+  test("TestHBaseTermPositions bulk read(): 4/4/3/3+1/3+1+0 buffer contract") {
+    import graft.query.TermIterator
+    import graft.model.CorpusStats
+    def freshIter(): TermIterator = {
+      val rows = searcher.postingRows(Seq("plays")).collect()
+        .sortBy(_.shard)
+      val blocks = rows.flatMap(_.blocks).toArray
+      new TermIterator("plays", 4.0, 1.0, graft.query.BM25(),
+        CorpusStats(4, 5.75), blocks)
+    }
+    def readAll(bufSize: Int): Seq[Int] = {
+      val it = freshIter()
+      val docs = new Array[Long](bufSize); val tfs = new Array[Int](bufSize)
+      Iterator.continually(it.read(docs, tfs)).takeWhile(_ > 0).toSeq :+ 0
+    }
+    assert(readAll(4) === Seq(4, 0))      // exact
+    assert(readAll(32) === Seq(4, 0))     // overflow buffer
+    assert(readAll(3) === Seq(3, 1, 0))   // split + last boundary
+    val it = freshIter()
+    val d = new Array[Long](4); val f = new Array[Int](4)
+    assert(it.read(d, f) === 4)
+    assert(d.toSeq === d.toSeq.sorted && f.forall(_ > 0)) // ordered, tf>0
+  }
+
   test("TestHBaseTermEnum semantics: dictionary fields and docFreq > 0") {
     val ts = index.termStats.collect()
     val fields = ts.map(_.getString(0)).toSet
