@@ -38,6 +38,15 @@ final class Searcher(
 
   private def stats = index.stats
 
+  /** Slim (docId, dl) lookup for scoring joins. Hinted broadcast while
+    * it plausibly fits (16 bytes/doc → ~160 MB at 10M docs); beyond
+    * that Catalyst plans a shuffle join and the WAND path (dl
+    * co-partitioned by shard) is the right tool anyway. */
+  private def dlLookup: org.apache.spark.sql.DataFrame = {
+    val slim = index.docs.select(col("docId"), col("dl").cast("double").as("dl"))
+    if (stats.numDocs <= 10_000_000L) broadcast(slim) else slim
+  }
+
   /** Posting rows for the query terms — bucket/point-pruned scan
     * (reference A7: one Get per term row). */
   def postingRows(terms: Seq[String]): Dataset[PostingRow] =
@@ -85,7 +94,7 @@ final class Searcher(
     val dfLookup = typedlit(dfs.map { case (t, d) => t -> d.toDouble })
 
     val m = matches(qTerms).toDF()
-      .join(index.docs.select(col("docId"), col("dl").cast("double").as("dl")), Seq("docId"))
+      .join(dlLookup, Seq("docId"))
       .withColumn("df", element_at(dfLookup, col("term")))
       .withColumn("tscore",
         scorer.contributionCol(col("tf").cast("double"), col("df"), col("dl"), stats))
@@ -186,7 +195,7 @@ final class Searcher(
     val phraseTf = starts.groupBy("docId").agg(count(lit(1)).as("tf"))
     val df = phraseTf.count().toDouble // docs containing the phrase
     val withDl = phraseTf
-      .join(index.docs.select(col("docId"), col("dl").cast("double").as("dl")), Seq("docId"))
+      .join(dlLookup, Seq("docId"))
       .withColumn("score", scorer.contributionCol(
         col("tf").cast("double"), lit(df), col("dl"), stats))
     withDl.orderBy(desc("score"), asc("docId")).limit(k)
