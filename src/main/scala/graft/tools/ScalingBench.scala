@@ -14,10 +14,12 @@ import graft.table.{IndexTables, TableFormat}
   * vs local[32] on the SAME deterministic corpus — no real cluster
   * here, see BASELINE.md protocol).
   *
-  * Reports docs/sec at both levels, efficiency = (T_8 / T_32) / 4,
+  * Reports docs/sec at both levels, efficiency = speedup / 4,
   * per-query p50/p95 latency at the larger level, and writes
-  * BENCH/BASELINE.md. Per-row sha256 invariant re-checked inside the
-  * run (BASELINE.json input_hint).
+  * BENCH/scaling_run.md (one-JVM convenience mode; the curated
+  * BENCH/BASELINE.md is produced from interleaved fresh-JVM "one"
+  * runs via tools/mk_bench_baseline.py). Per-row sha256 invariant
+  * re-checked inside every run (BASELINE.json input_hint).
   *
   * Usage: runMain graft.tools.ScalingBench [numFiles] [outPath]
   */
@@ -163,7 +165,7 @@ object ScalingBench {
       return
     }
     val numFiles = args.headOption.map(_.toLong).getOrElse(200000L)
-    val outPath = if (args.length > 1) args(1) else "BENCH/BASELINE.md"
+    val outPath = if (args.length > 1) args(1) else "BENCH/scaling_run.md"
     val reps = 5
 
     val (t8, n8, bad8) = buildOnce(8, numFiles)
