@@ -48,7 +48,10 @@ object Analyzer extends Serializable {
     * every RAW token, stop words included, pos 1-based. */
   @inline def scanRaw(text: String)(f: (String, Int) => Unit): Unit = {
     if (text == null) return
-    val s = text.toLowerCase
+    // Locale.ROOT: under e.g. a Turkish default locale 'I' would
+    // lowercase to dotless 'ı', silently changing tokenization and
+    // breaking parity with the oracle's lower().
+    val s = text.toLowerCase(java.util.Locale.ROOT)
     val n = s.length
     var i = 0
     var pos = 0

@@ -232,7 +232,7 @@ pl AS (
   FROM e CROSS JOIN range(8) b(b)),
 bits AS (SELECT vec_id, b, sum(qv * w) AS s FROM pl GROUP BY 1, 2),
 bkt AS (
-  SELECT vec_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS bucket
+  SELECT vec_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS bucket
   FROM bits GROUP BY 1)
 SELECT bucket, count(*)::BIGINT AS n FROM bkt GROUP BY 1""",
 
@@ -298,7 +298,7 @@ FROM documents d LEFT JOIN a USING (doc_id)"""),
   SELECT term, row_number() OVER (ORDER BY term) AS tid
   FROM (SELECT DISTINCT term FROM emitted))
 SELECT e.doc_id,
-       sum(t.tid * ((e.pos * 2654435761) % 1048576)) % 2147483647 AS fp
+       (sum(t.tid * ((e.pos * 2654435761) % 1048576)) % 2147483647)::BIGINT AS fp
 FROM emitted e JOIN tid t USING (term) GROUP BY e.doc_id"""),
 
     "media_meta" -> """

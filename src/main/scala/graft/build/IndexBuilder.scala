@@ -123,7 +123,7 @@ object IndexBuilder {
     }
     untokenized.foreach { case (field, value) =>
       if (value != null && value.nonEmpty) {
-        val k = (field, value.toLowerCase)
+        val k = (field, value.toLowerCase(java.util.Locale.ROOT))
         acc.getOrElseUpdate(k,
           scala.collection.mutable.ArrayBuffer.empty[Int]) += 0
       }

@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.analysis.Analyzer
@@ -15,9 +14,10 @@ import graft.analysis.Analyzer
   * Every hash here is plain integer arithmetic over DENSE RANK ids
   * (not engine-native hash functions) so the identical computation is
   * expressible in ANSI SQL for the DuckDB oracle — and exact (no
-  * float divergence) across engines. The dense-rank window sorts only
-  * vocabulary-sized tables (distinct terms / shingles), never the
-  * corpus, so it stays cheap at scale.
+  * float divergence) across engines. Dense ranking is two-level
+  * (range-partition + rank + broadcast offsets, `denseIds`), never a
+  * single-partition global Window, so id assignment scales even when
+  * the key space (distinct shingles) grows with the corpus.
   */
 object TextPipeline {
 
@@ -58,15 +58,39 @@ object TextPipeline {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n"))
       .select("doc_id", "n")
 
-  /** Token 3-gram shingles, distinct per doc. */
+  /** Token 3-gram shingles, distinct per doc. Doc-local sliding window
+    * in one narrow pass — no join, no shuffle; the per-doc dedup is a
+    * local Set, so even the `distinct` costs nothing corpus-wide. */
   def shingles(docs: DataFrame): DataFrame = {
-    val t = rawTok(docs)
-    val a = t.as("a"); val b = t.as("b"); val c = t.as("c")
-    a.join(b, col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
-      .join(c, col("a.doc_id") === col("c.doc_id") && col("c.pos") === col("a.pos") + 2)
-      .select(col("a.doc_id").as("doc_id"),
-        concat_ws(" ", col("a.term"), col("b.term"), col("c.term")).as("sh"))
-      .distinct()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = Analyzer.rawTokens(text).toArray
+        val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+        var i = 0
+        while (i + 2 < toks.length) {
+          seen += s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}"
+          i += 1
+        }
+        seen.iterator.map(sh => (id, sh))
+      }
+      .toDF("doc_id", "sh")
+  }
+
+  /** Dense 1-based ids over the distinct values of `keyCol`, equal to
+    * `row_number() OVER (ORDER BY key)` — but computed with two-level
+    * ranking (range-partition distinct keys, sort + rank within
+    * partitions, broadcast per-partition offsets; the assignDocIds
+    * pattern, IndexBuilder.scala:372) instead of a single-partition
+    * global Window, so the ranking itself scales with the vocabulary. */
+  private def denseIds(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    graft.build.IndexBuilder
+      .assignDocIds(df.select(keyCol).distinct(), Seq(keyCol), nPart)
+      .withColumn(idCol, col("docId") + 1L)
+      .select(keyCol, idCol)
   }
 
   /** Exact n-gram Jaccard near-dup pairs at threshold τ. Blocking by
@@ -89,16 +113,23 @@ object TextPipeline {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** Dense shingle ids: vocabulary-sized sort (NOT corpus-sized). */
+  /** Dense shingle ids. Distinct 3-grams grow ~corpus-sized at 100 TB,
+    * so this MUST NOT be a global Window — two-level ranking only. */
   private def shingleIds(sh: DataFrame): DataFrame =
-    sh.select("sh").distinct()
-      .withColumn("sid", row_number().over(Window.orderBy("sh")).cast("long"))
+    denseIds(sh, "sh", "sid")
 
   /** MinHash + banded LSH candidate pairs.
     * nHash=12 permutations h_i(x) = ((2i+1)·x + (7919i+1)) mod (2³¹−1),
     * 4 bands × 3 rows; band key folded with modular base 1000003
     * (all exact 64-bit integer arithmetic — oracle-identical). */
   def minhashCandidates(docs: DataFrame, nHash: Int = 12, rowsPerBand: Int = 3): DataFrame = {
+    // band-key fold is positional base-1000003 arithmetic: 1000003³
+    // still fits a long, 1000003⁴ does not — and nHash must tile into
+    // whole bands or the trailing band would carry null minhashes
+    require(rowsPerBand >= 1 && rowsPerBand <= 3,
+      s"rowsPerBand must be 1..3 (base-1000003 fold overflows beyond), got $rowsPerBand")
+    require(nHash % rowsPerBand == 0,
+      s"nHash ($nHash) must be a multiple of rowsPerBand ($rowsPerBand)")
     val sh = shingles(docs)
     val withIds = sh.join(shingleIds(sh), "sh").select("doc_id", "sid")
     val hashed = withIds
@@ -109,9 +140,9 @@ object TextPipeline {
       .withColumn("band", (col("i") / rowsPerBand).cast("int"))
       .withColumn("r", col("i") % rowsPerBand)
     val bandKey = sig.groupBy("doc_id", "band").agg(
-      ((max(when(col("r") === 0, col("mh"))) % 1000003L) * 1000003L * 1000003L
-        + (max(when(col("r") === 1, col("mh"))) % 1000003L) * 1000003L
-        + (max(when(col("r") === 2, col("mh"))) % 1000003L)).as("bkey"))
+      (0 until rowsPerBand)
+        .map(r => max(when(col("r") === r, col("mh"))) % 1000003L)
+        .reduceLeft((acc, x) => acc * 1000003L + x).as("bkey"))
     bandKey.as("x").join(bandKey.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
           && col("x.doc_id") < col("y.doc_id"))
@@ -119,10 +150,10 @@ object TextPipeline {
       .distinct()
   }
 
-  /** Dense term ids over the emitted vocabulary. */
+  /** Dense term ids over the emitted vocabulary (two-level ranking —
+    * no single-partition Window even at vocabulary size). */
   private def termIds(emitted: DataFrame): DataFrame =
-    emitted.select("term").distinct()
-      .withColumn("tid", row_number().over(Window.orderBy("term")).cast("long"))
+    denseIds(emitted, "term", "tid")
 
   /** 31-bit SimHash per doc, tf-weighted:
     * h(tid) = (tid·2654435761 + 911) mod (2³¹−1); bit b set iff
@@ -143,15 +174,37 @@ object TextPipeline {
         .otherwise(0L)).as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHam.
-    * (Pairwise here; at scale this becomes a bit-band LSH join —
-    * the simhash column itself is the scale-ready artifact.) */
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHam — banded
+    * LSH join, NOT an all-pairs cross join: the 31 simhash bits are
+    * split into maxHam+1 disjoint bit bands; by pigeonhole, two hashes
+    * within maxHam differing bits agree EXACTLY on at least one band,
+    * so an equi-join on (band, bandValue) finds every qualifying pair
+    * (no false negatives), and candidates are Hamming-verified. The
+    * shuffle key is the band value — pair volume is per-bucket, never
+    * O(n²) corpus-wide. */
   def simhashPairs(docs: DataFrame, maxHam: Int): DataFrame = {
-    val s = simhash(docs)
-    s.as("x").join(s.as("y"), col("x.doc_id") < col("y.doc_id"))
-      .withColumn("ham", bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))))
+    val nBits = 31
+    val nBands = maxHam + 1
+    require(nBands <= nBits, s"maxHam $maxHam needs ${nBands} bands > $nBits bits")
+    val base = nBits / nBands
+    val rem = nBits % nBands
+    val widths = Array.tabulate(nBands)(b => base + (if (b < rem) 1 else 0))
+    val lows = widths.scanLeft(0)(_ + _)
+    val bandVals = (0 until nBands).map { b =>
+      shiftright(col("simhash"), lows(b)).bitwiseAND(lit((1L << widths(b)) - 1))
+    }
+    val s = simhash(docs).cache() // two join sides read it once each
+    val banded = s.select(col("doc_id"), col("simhash"),
+      posexplode(array(bandVals: _*)).as(Seq("band", "bval")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.simhash").as("sx"), col("y.simhash").as("sy"))
+      .distinct() // a pair can collide in several bands
+      .withColumn("ham", bit_count(col("sx").bitwiseXOR(col("sy"))))
       .where(col("ham") <= maxHam)
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("ham"))
+      .select(col("a"), col("b"), col("ham"))
   }
 
   // ---- text analysis -----------------------------------------------------

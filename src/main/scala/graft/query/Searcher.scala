@@ -150,9 +150,16 @@ final class Searcher(
     val scorerB = scorer
 
     val prows = postingRows(qTerms).groupByKey(_.shard)
+    // Only shards that actually hold postings for the query's terms can
+    // produce hits — semi-join the doc lengths down to those shards
+    // (broadcast: |touched shards| ≤ Σ_term #shards, tiny) instead of
+    // shuffling every (docId, dl) row in the corpus into the cogroup.
+    val touchedShards = broadcast(postingRows(qTerms).select("shard").distinct())
     val dls = index.docs
       .select(col("docId"), col("dl").cast("double").as("dl"))
       .withColumn("shard", (col("docId") / lit(shardSize)).cast("long"))
+      .join(touchedShards, Seq("shard"), "left_semi")
+      .select(col("docId"), col("dl"), col("shard"))
       .as[(Long, Double, Long)]
       .groupByKey(_._3)
 
@@ -192,8 +199,10 @@ final class Searcher(
     val starts = terms.zipWithIndex
       .map { case (t, i) => posDf(t, i) }
       .reduce((a, b) => a.join(b, Seq("docId", "start")))
-    val phraseTf = starts.groupBy("docId").agg(count(lit(1)).as("tf"))
-    val df = phraseTf.count().toDouble // docs containing the phrase
+    // cache before the df count — otherwise the positions join runs
+    // twice (once for the count, again in the scoring plan)
+    val phraseTf = starts.groupBy("docId").agg(count(lit(1)).as("tf")).cache()
+    val df = phraseTf.count().toDouble // docs containing the phrase (materializes cache)
     val withDl = phraseTf
       .join(dlLookup, Seq("docId"))
       .withColumn("score", scorer.contributionCol(

@@ -58,6 +58,11 @@ object TableFormat {
     val snap = if (snapshotId > 0) snapshotId else nextSnapshotId(root)
     val tmp = Paths.get(root, s"_tmp_${table}_$snap")
     val dataDir = Paths.get(root, s"$table.snap-$snap")
+    // Crash window: died after the data-dir ATOMIC_MOVE but before the
+    // manifest commit → manifest absent, dataDir present. The snapshot
+    // is unreferenced (visible iff manifest exists), so delete the
+    // stale dir and redo the write — keeps resume idempotent.
+    if (Files.exists(dataDir)) deleteRecursively(dataDir)
     // snappy, not zstd (Spark 4 default): posting blocks are already
     // delta+varint packed — zstd burns ~2-8× write CPU for little gain
     df.write.mode("overwrite").option("compression", "snappy")
@@ -70,6 +75,12 @@ object TableFormat {
     val m = Manifest(table, snap, dataDir.toString, total, fileRows.toSeq)
     commitManifest(root, m)
     m
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
   }
 
   /** Row count per data file from parquet footer metadata. */

@@ -57,6 +57,43 @@ class PlanSpec extends AnyFunSuite {
       plan.take(2000))
   }
 
+  // ---- pipeline scale gates ----
+
+  private lazy val pipelineDocs = {
+    val rows = (0L until 60L).map { i =>
+      (i, s"alpha beta gamma delta tok$i epsilon zeta eta theta common words here")
+    }
+    rows.toDF("doc_id", "text")
+  }
+
+  test("simhash pairs plan has no cartesian / nested-loop join") {
+    val df = graft.pipeline.TextPipeline.simhashPairs(pipelineDocs, 8)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("pipeline id-assignment plans have no single-partition Window") {
+    for (df <- Seq(
+        graft.pipeline.TextPipeline.fingerprint(pipelineDocs),
+        graft.pipeline.TextPipeline.minhashCandidates(pipelineDocs),
+        graft.pipeline.TextPipeline.simhash(pipelineDocs))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // a global Window shows up as Window over SinglePartition exchange
+      assert(!plan.contains("Window"), plan.take(2000))
+    }
+  }
+
+  test("WAND doc-length side is semi-join pruned to touched shards") {
+    val s = new Searcher(spark, diskIndex)
+    val df = s.topKWand(Seq("merge"), 5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(3000))
+  }
+
   test("whole-stage codegen covers the scoring pipeline") {
     val s = new Searcher(spark, diskIndex)
     val df = s.scoredDocs(Seq("merge"), graft.query.BM25())
