@@ -59,7 +59,7 @@ final case class IndexConfig(
 /** The built index: four logical tables (SURVEY.md §1.6).
   *
   *   docs      — (docId, dl, content_sha256, + source columns)
-  *   postings  — (field, term, shard, df, cf, maxTf, blocks)
+  *   postings  — (field, term, shard, df, cf, maxTf, blob)
   *   termStats — (field, term, df, cf, maxTf)   [global, shards merged]
   *   stats     — broadcastable corpus stats (N, avgdl)
   */
@@ -174,7 +174,7 @@ object IndexBuilder {
         // split the docId-ordered run by shard boundary, encode each
         var i = 0
         val out = scala.collection.mutable.ArrayBuffer
-          .empty[(String, String, Long, Long, Long, Int, Seq[PostingBlock])]
+          .empty[(String, String, Long, Long, Long, Int, Array[Byte])]
         while (i < ps.length) {
           val shard = ps(i).docId / shardSize
           var j = i
@@ -183,13 +183,13 @@ object IndexBuilder {
             cf += ps(j).tf; if (ps(j).tf > maxTf) maxTf = ps(j).tf
             j += 1
           }
-          val blocks = PostingsCodec.encodeBlocks(ps.slice(i, j).toIndexedSeq)
-          out += ((f, t, shard, (j - i).toLong, cf, maxTf, blocks.toSeq))
+          val blob = PostingsCodec.encodePostingsBlob(ps.slice(i, j).toIndexedSeq)
+          out += ((f, t, shard, (j - i).toLong, cf, maxTf, blob))
           i = j
         }
         out.iterator
       }
-    }.toDF("field", "term", "shard", "df", "cf", "maxTf", "blocks")
+    }.toDF("field", "term", "shard", "df", "cf", "maxTf", "blob")
   }
 
   /** Merge partial segments per (field, term, shard): pure block-list
@@ -216,24 +216,54 @@ object IndexBuilder {
       if (cfg.buildPartitions > 0)
         partials.repartition(cfg.buildPartitions, col("field"), col("term"), col("shard"))
       else partials
-    val merged = in.withColumn("firstDoc", col("blocks")(0)("minDoc"))
+    // firstDoc orders the partials; reading it costs two header varints
+    val firstDocUdf = udf((b: Array[Byte]) => new PostingsCodec.BlobView(b).firstMinDoc)
+    val merged = in.withColumn("firstDoc", firstDocUdf(col("blob")))
       .groupBy("field", "term", "shard")
       .agg(
         sum("df").as("df"), sum("cf").as("cf"), max("maxTf").as("maxTf"),
-        flatten(transform(
-          sort_array(collect_list(struct(col("firstDoc"), col("blocks")))),
-          x => x.getField("blocks"))).as("blocks"))
+        transform(
+          sort_array(collect_list(struct(col("firstDoc"), col("blob")))),
+          x => x.getField("blob")).as("parts"))
     merged
-      .as[(String, String, Long, Long, Long, Int, Seq[PostingBlock])]
-      .map { case (f, t, sh, df, cf, maxTf, blocks) =>
-        val compacted =
-          if (blocks.length > 1 && df < blocks.length.toLong * (PostingsCodec.BlockSize / 2))
-            PostingsCodec.encodeBlocks(
-              blocks.iterator.flatMap(PostingsCodec.decodeBlock).toIndexedSeq).toSeq
-          else blocks
-        (f, t, sh, df, cf, maxTf, compacted)
+      .as[(String, String, Long, Long, Long, Int, Seq[Array[Byte]])]
+      .map { case (f, t, sh, df, cf, maxTf, parts) =>
+        (f, t, sh, df, cf, maxTf, mergeBlobs(parts, df))
       }
-      .toDF("field", "term", "shard", "df", "cf", "maxTf", "blocks")
+      .toDF("field", "term", "shard", "df", "cf", "maxTf", "blob")
+  }
+
+  /** Merge docId-ordered partial blobs into one shard blob.
+    *
+    * Fast path: pure header rewrite + payload byte copy (zero decode).
+    * It requires the concatenated block sequence to be STRICTLY
+    * docId-increasing — this is verified here (per-blob order plus
+    * cross-blob range disjointness), not assumed: fromText accepts any
+    * pre-existing id column, and interleaved ids across input
+    * partitions would otherwise corrupt block-skip (maxDoc-based
+    * advanceTo) silently. On violation — or when concatenation would
+    * leave badly under-filled blocks — fall back to
+    * decode-sort-re-encode. */
+  private[build] def mergeBlobs(parts: Seq[Array[Byte]], df: Long): Array[Byte] = {
+    if (parts.length == 1) return parts.head
+    val views = parts.map(b => new PostingsCodec.BlobView(b))
+    var ordered = true
+    var prevMax = Long.MinValue
+    views.foreach { v =>
+      if (v.nBlocks > 0) {
+        if (v.firstMinDoc <= prevMax || !v.isDocOrdered) ordered = false
+        prevMax = math.max(prevMax, v.lastMaxDoc)
+      }
+    }
+    val totalBlocks = views.iterator.map(_.nBlocks).sum
+    val fragmented = df < totalBlocks.toLong * (PostingsCodec.BlockSize / 2)
+    if (ordered && !fragmented) PostingsCodec.concatBlobs(parts)
+    else {
+      val all = views.iterator.flatMap(_.allPostings).toArray
+      java.util.Arrays.sort(all, Ordering.by((p: Posting) => p.docId))
+      PostingsCodec.encodePostingsBlob(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(all))
+    }
   }
 
   /** Sort-based posting build: one Tungsten hash shuffle of the raw
@@ -258,25 +288,24 @@ object IndexBuilder {
       .select("field", "term", "shard", "docId", "tf", "positions")
       .as[(String, String, Long, Long, Int, Seq[Int])]
     sorted.mapPartitions { it =>
-      new Iterator[(String, String, Long, Long, Long, Int, Seq[PostingBlock])] {
+      new Iterator[(String, String, Long, Long, Long, Int, Array[Byte])] {
         private val buf = scala.collection.mutable.ArrayBuffer.empty[Posting]
         private var cur: (String, String, Long) = null
         private var pending: (String, String, Long, Long, Int, Seq[Int]) = null
 
         private def emit() = {
           val ps = buf.toIndexedSeq
-          val blocks = PostingsCodec.encodeBlocks(ps)
+          val blob = PostingsCodec.encodePostingsBlob(ps)
           var cf = 0L; var maxTf = 0
           ps.foreach { p => cf += p.tf; if (p.tf > maxTf) maxTf = p.tf }
-          val out = (cur._1, cur._2, cur._3, ps.length.toLong, cf, maxTf,
-            blocks.toSeq)
+          val out = (cur._1, cur._2, cur._3, ps.length.toLong, cf, maxTf, blob)
           buf.clear()
           out
         }
 
         def hasNext: Boolean = pending != null || it.hasNext || buf.nonEmpty
 
-        def next(): (String, String, Long, Long, Long, Int, Seq[PostingBlock]) = {
+        def next(): (String, String, Long, Long, Long, Int, Array[Byte]) = {
           while (true) {
             val row = if (pending != null) { val r = pending; pending = null; r }
               else if (it.hasNext) it.next()
@@ -295,7 +324,7 @@ object IndexBuilder {
           throw new IllegalStateException("unreachable")
         }
       }
-    }.toDF("field", "term", "shard", "df", "cf", "maxTf", "blocks")
+    }.toDF("field", "term", "shard", "df", "cf", "maxTf", "blob")
   }
 
   /** Typed-Aggregator posting build (SURVEY.md §7.3) — retained for
@@ -313,7 +342,7 @@ object IndexBuilder {
       .select(
         col("field"), col("term"), col("shard"),
         col("p.df").as("df"), col("p.cf").as("cf"),
-        col("p.maxTf").as("maxTf"), col("p.blocks").as("blocks"))
+        col("p.maxTf").as("maxTf"), col("p.blob").as("blob"))
   }
 
   /** Build straight from a parquet table of CodeDocs with docIDs

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
 import graft.codec.PostingsCodec
-import graft.model.{Posting, PostingBlock}
+import graft.model.Posting
 
 /** One (term, doc) occurrence row fed into the posting aggregator:
   * the output of doc-local analysis (SURVEY.md §2 B1+B2 done in one
@@ -21,7 +21,7 @@ final case class PostingsPayload(
     df: Long,
     cf: Long,
     maxTf: Int,
-    blocks: Seq[PostingBlock])
+    blob: Array[Byte])
 
 /** Custom typed Aggregator building compressed posting blocks —
   * the Spark-native replacement for the reference's in-memory posting
@@ -56,11 +56,11 @@ class PostingAggregator
     val sorted = buf.sortInPlace()(Ordering.by((o: TermDocOcc) => o.docId))
     val postings: IndexedSeq[Posting] =
       sorted.map(o => Posting(o.docId, o.tf, o.positions.toArray)).toIndexedSeq
-    val blocks = PostingsCodec.encodeBlocks(postings)
+    val blob = PostingsCodec.encodePostingsBlob(postings)
     var cf = 0L
     var maxTf = 0
     postings.foreach { p => cf += p.tf; if (p.tf > maxTf) maxTf = p.tf }
-    PostingsPayload(postings.length.toLong, cf, maxTf, blocks.toSeq)
+    PostingsPayload(postings.length.toLong, cf, maxTf, blob)
   }
 
   override def bufferEncoder: Encoder[ArrayBuffer[TermDocOcc]] =

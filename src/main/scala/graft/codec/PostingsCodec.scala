@@ -45,9 +45,10 @@ object PostingsCodec {
     out.write(v.toInt)
   }
 
-  final class Reader(val buf: Array[Byte]) {
-    var pos: Int = 0
-    def hasNext: Boolean = pos < buf.length
+  final class Reader(val buf: Array[Byte], start: Int = 0, endExclusive: Int = -1) {
+    var pos: Int = start
+    private val end: Int = if (endExclusive >= 0) endExclusive else buf.length
+    def hasNext: Boolean = pos < end
     def readVarLong(): Long = {
       var shift = 0
       var result = 0L
@@ -135,12 +136,19 @@ object PostingsCodec {
     blocks.toArray
   }
 
-  def decodeBlock(b: PostingBlock): Array[Posting] = {
-    val r = new Reader(b.data)
-    val arr = new Array[Posting](b.n)
-    var doc = b.minDoc
+  def decodeBlock(b: PostingBlock): Array[Posting] =
+    decodePostingsAt(new Reader(b.data), b.minDoc, b.n)
+
+  /** Decode only (docId, tf) pairs — the scoring hot path skips
+    * positions without materializing them. */
+  def decodeDocTf(b: PostingBlock): Array[(Long, Int)] =
+    decodeDocTfAt(new Reader(b.data), b.minDoc, b.n)
+
+  private def decodePostingsAt(r: Reader, minDoc: Long, n: Int): Array[Posting] = {
+    val arr = new Array[Posting](n)
+    var doc = minDoc
     var i = 0
-    while (i < b.n) {
+    while (i < n) {
       doc += r.readVarLong()
       val tf = r.readVarInt()
       val positions = new Array[Int](tf)
@@ -157,14 +165,11 @@ object PostingsCodec {
     arr
   }
 
-  /** Decode only (docId, tf) pairs — the scoring hot path skips
-    * positions without materializing them. */
-  def decodeDocTf(b: PostingBlock): Array[(Long, Int)] = {
-    val r = new Reader(b.data)
-    val arr = new Array[(Long, Int)](b.n)
-    var doc = b.minDoc
+  private def decodeDocTfAt(r: Reader, minDoc: Long, n: Int): Array[(Long, Int)] = {
+    val arr = new Array[(Long, Int)](n)
+    var doc = minDoc
     var i = 0
-    while (i < b.n) {
+    while (i < n) {
       doc += r.readVarLong()
       val tf = r.readVarInt()
       var j = 0
@@ -173,5 +178,142 @@ object PostingsCodec {
       i += 1
     }
     arr
+  }
+
+  // ---- shard blobs ---------------------------------------------------------
+
+  /** One self-describing BinaryType blob holds ALL of a (field, term,
+    * shard) row's posting blocks:
+    *
+    *   varint nBlocks
+    *   nBlocks × ( varint minDoc, varint maxDoc−minDoc, varint n,
+    *               varint maxTf, varint payloadLen )
+    *   concatenated block payloads (byte-identical to PostingBlock.data)
+    *
+    * This replaces the previous array<struct<…,binary>> column:
+    * Tungsten's nested array/struct serialization was the measured
+    * dominant cost of the postings build job, while a single binary
+    * column shuffles, aggregates and stores as one contiguous byte run.
+    * The up-front metadata section preserves block skipping / block-max
+    * WAND without touching payload bytes. */
+  def encodeBlob(blocks: IndexedSeq[PostingBlock]): Array[Byte] = {
+    var payload = 0
+    blocks.foreach(b => payload += b.data.length)
+    val out = new ByteArrayOutputStream(16 + 12 * blocks.length + payload)
+    writeVarLong(out, blocks.length.toLong)
+    blocks.foreach { b =>
+      writeVarLong(out, b.minDoc)
+      writeVarLong(out, b.maxDoc - b.minDoc)
+      writeVarLong(out, b.n.toLong)
+      writeVarLong(out, b.maxTf.toLong)
+      writeVarLong(out, b.data.length.toLong)
+    }
+    blocks.foreach(b => out.write(b.data, 0, b.data.length))
+    out.toByteArray
+  }
+
+  /** Encode sorted postings straight to a shard blob. */
+  def encodePostingsBlob(sorted: IndexedSeq[Posting]): Array[Byte] = {
+    val blocks = encodeBlocks(sorted)
+    encodeBlob(scala.collection.immutable.ArraySeq.unsafeWrapArray(blocks))
+  }
+
+  /** Materialize a blob back into standalone PostingBlocks (payload
+    * copies — use BlobView for the read hot path). */
+  def decodeBlob(blob: Array[Byte]): Array[PostingBlock] = {
+    val v = new BlobView(blob)
+    Array.tabulate(v.nBlocks)(v.block)
+  }
+
+  /** Concatenate shard blobs in the given order into one blob —
+    * header-only rewrite plus raw payload copy, ZERO payload decode.
+    * Callers must ensure the concatenated block sequence is docId-
+    * ordered (check with BlobView.isDocOrdered / lastMaxDoc). */
+  def concatBlobs(blobs: Seq[Array[Byte]]): Array[Byte] = {
+    val views = blobs.map(new BlobView(_))
+    val out = new ByteArrayOutputStream(blobs.iterator.map(_.length).sum + 8)
+    writeVarLong(out, views.iterator.map(_.nBlocks.toLong).sum)
+    views.foreach { v =>
+      var i = 0
+      while (i < v.nBlocks) {
+        writeVarLong(out, v.minDoc(i))
+        writeVarLong(out, v.maxDoc(i) - v.minDoc(i))
+        writeVarLong(out, v.blockN(i).toLong)
+        writeVarLong(out, v.blockMaxTf(i).toLong)
+        writeVarLong(out, v.payloadLen(i).toLong)
+        i += 1
+      }
+    }
+    views.foreach(v => out.write(v.blob, v.payloadStart, v.payloadTotal))
+    out.toByteArray
+  }
+
+  /** Random-access view over an encoded shard blob: the metadata
+    * section is parsed once into flat arrays; payload blocks decode on
+    * demand directly out of the blob (no per-block slice copy). */
+  final class BlobView(val blob: Array[Byte]) {
+    private val hdr = new Reader(blob)
+    val nBlocks: Int = hdr.readVarInt()
+    private val minDocs = new Array[Long](nBlocks)
+    private val maxDocs = new Array[Long](nBlocks)
+    private val ns = new Array[Int](nBlocks)
+    private val maxTfs = new Array[Int](nBlocks)
+    private val lens = new Array[Int](nBlocks)
+    locally {
+      var i = 0
+      while (i < nBlocks) {
+        minDocs(i) = hdr.readVarLong()
+        maxDocs(i) = minDocs(i) + hdr.readVarLong()
+        ns(i) = hdr.readVarInt()
+        maxTfs(i) = hdr.readVarInt()
+        lens(i) = hdr.readVarInt()
+        i += 1
+      }
+    }
+    /** First payload byte (header ends here). */
+    val payloadStart: Int = hdr.pos
+    private val offs: Array[Int] = {
+      val o = new Array[Int](nBlocks)
+      var acc = payloadStart
+      var i = 0
+      while (i < nBlocks) { o(i) = acc; acc += lens(i); i += 1 }
+      o
+    }
+    def payloadTotal: Int = {
+      var s = 0; var i = 0
+      while (i < nBlocks) { s += lens(i); i += 1 }
+      s
+    }
+    def minDoc(i: Int): Long = minDocs(i)
+    def maxDoc(i: Int): Long = maxDocs(i)
+    def blockN(i: Int): Int = ns(i)
+    def blockMaxTf(i: Int): Int = maxTfs(i)
+    def payloadLen(i: Int): Int = lens(i)
+    def lastMaxDoc: Long = maxDocs(nBlocks - 1)
+    def firstMinDoc: Long = minDocs(0)
+    def totalN: Long = {
+      var s = 0L; var i = 0
+      while (i < nBlocks) { s += ns(i); i += 1 }
+      s
+    }
+    /** Blocks strictly docId-ordered and range-disjoint? */
+    def isDocOrdered: Boolean = {
+      var i = 1
+      while (i < nBlocks) {
+        if (maxDocs(i - 1) >= minDocs(i)) return false
+        i += 1
+      }
+      true
+    }
+    def decodeDocTf(i: Int): Array[(Long, Int)] =
+      decodeDocTfAt(new Reader(blob, offs(i), offs(i) + lens(i)), minDocs(i), ns(i))
+    def decodePostings(i: Int): Array[Posting] =
+      decodePostingsAt(new Reader(blob, offs(i), offs(i) + lens(i)), minDocs(i), ns(i))
+    def allPostings: Iterator[Posting] =
+      (0 until nBlocks).iterator.flatMap(decodePostings)
+    /** Materialize block i as a standalone PostingBlock (payload copy). */
+    def block(i: Int): PostingBlock =
+      PostingBlock(minDocs(i), maxDocs(i), ns(i), maxTfs(i),
+        java.util.Arrays.copyOfRange(blob, offs(i), offs(i) + lens(i)))
   }
 }

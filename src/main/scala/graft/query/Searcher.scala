@@ -4,10 +4,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.build.InvertedIndex
-import graft.model.{PostingBlock, ScoredDoc}
+import graft.model.ScoredDoc
 import graft.codec.PostingsCodec
 
-/** One postings row as stored (field, term, shard, df, cf, maxTf, blocks). */
+/** One postings row as stored (field, term, shard, df, cf, maxTf, blob).
+  * `blob` is the self-describing encoded block run (PostingsCodec
+  * shard-blob layout); wrap in a BlobView to iterate. */
 final case class PostingRow(
     field: String,
     term: String,
@@ -15,7 +17,7 @@ final case class PostingRow(
     df: Long,
     cf: Long,
     maxTf: Int,
-    blocks: Seq[PostingBlock])
+    blob: Array[Byte])
 
 /** Decoded match row. */
 final case class MatchRow(term: String, docId: Long, tf: Int)
@@ -57,8 +59,9 @@ final class Searcher(
   /** Decoded (term, docId, tf) matches (reference C2 semantics). */
   def matches(terms: Seq[String]): Dataset[MatchRow] =
     postingRows(terms).flatMap { r =>
-      r.blocks.iterator.flatMap { b =>
-        PostingsCodec.decodeDocTf(b).iterator.map { case (d, tf) =>
+      val v = new PostingsCodec.BlobView(r.blob)
+      (0 until v.nBlocks).iterator.flatMap { i =>
+        v.decodeDocTf(i).iterator.map { case (d, tf) =>
           MatchRow(r.term, d, tf)
         }
       }
@@ -67,10 +70,8 @@ final class Searcher(
   /** Decoded matches including positions (phrase queries). */
   def matchesWithPositions(terms: Seq[String]): Dataset[MatchPosRow] =
     postingRows(terms).flatMap { r =>
-      r.blocks.iterator.flatMap { b =>
-        PostingsCodec.decodeBlock(b).iterator.map { p =>
-          MatchPosRow(r.term, p.docId, p.tf, p.positions.toSeq)
-        }
+      new PostingsCodec.BlobView(r.blob).allPostings.map { p =>
+        MatchPosRow(r.term, p.docId, p.tf, p.positions.toSeq)
       }
     }
 
@@ -174,7 +175,7 @@ final class Searcher(
             val df = dfs.getOrElse(r.term, 0L).toDouble
             new TermIterator(r.term, df,
               scorerB.upperBound(r.maxTf.toDouble, df, st), scorerB, st,
-              r.blocks.toArray)
+              new PostingsCodec.BlobView(r.blob))
           }.toSeq
           Wand.topK(iters, d => dlMap.getOrElse(d, 0.0), scorerB, st, k,
             requireAll, nQueryTerms, queryDfs).iterator

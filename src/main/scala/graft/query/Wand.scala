@@ -5,12 +5,13 @@ import scala.collection.mutable
 import graft.codec.PostingsCodec
 import graft.model.{CorpusStats, PostingBlock, ScoredDoc}
 
-/** Posting-list iterator over encoded blocks with block skipping —
-  * the fixed version of the reference's TermDocs/TermPositions
-  * iteration whose `skipTo` degraded to a linear scan
-  * (hbasene HBaseTermPositions.java:177-186, TODO at :178). Blocks are
-  * skipped on metadata (maxDoc) without decoding; within a block a
-  * linear scan over ≤128 decoded entries.
+/** Posting-list iterator over an encoded shard blob with block
+  * skipping — the fixed version of the reference's
+  * TermDocs/TermPositions iteration whose `skipTo` degraded to a
+  * linear scan (hbasene HBaseTermPositions.java:177-186, TODO at
+  * :178). Blocks are skipped on BlobView header metadata (maxDoc)
+  * without touching payload bytes; within a block a linear scan over
+  * ≤128 decoded entries.
   */
 final class TermIterator(
     val term: String,
@@ -18,21 +19,28 @@ final class TermIterator(
     val ub: Double, // term-level score upper bound
     scorer: Scorer,
     stats: CorpusStats,
-    blocks: Array[PostingBlock]) {
+    view: PostingsCodec.BlobView) {
+
+  /** Convenience for callers holding standalone blocks (tests/tools). */
+  def this(term: String, df: Double, ub: Double, scorer: Scorer,
+      stats: CorpusStats, blocks: Array[PostingBlock]) =
+    this(term, df, ub, scorer, stats,
+      new PostingsCodec.BlobView(PostingsCodec.encodeBlob(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(blocks))))
 
   private var bi = 0
   private var di = 0
   private var decoded: Array[(Long, Int)] =
-    if (blocks.nonEmpty) PostingsCodec.decodeDocTf(blocks(0)) else Array.empty
+    if (view.nBlocks > 0) view.decodeDocTf(0) else Array.empty
 
-  def exhausted: Boolean = bi >= blocks.length
+  def exhausted: Boolean = bi >= view.nBlocks
   def curDoc: Long = if (exhausted) Long.MaxValue else decoded(di)._1
   def curTf: Int = decoded(di)._2
 
   /** Upper bound within the current block (block-max). */
   def blockUb: Double =
     if (exhausted) 0.0
-    else scorer.upperBound(blocks(bi).maxTf.toDouble, df, stats)
+    else scorer.upperBound(view.blockMaxTf(bi).toDouble, df, stats)
 
   def next(): Unit = {
     if (exhausted) return
@@ -43,8 +51,8 @@ final class TermIterator(
   /** Advance to the first doc ≥ target; block-skip on metadata. */
   def advanceTo(target: Long): Unit = {
     if (exhausted || curDoc >= target) return
-    if (blocks(bi).maxDoc < target) {
-      while (bi < blocks.length && blocks(bi).maxDoc < target) bi += 1
+    if (view.maxDoc(bi) < target) {
+      while (bi < view.nBlocks && view.maxDoc(bi) < target) bi += 1
       di = 0
       decodeCur()
       if (exhausted) return
@@ -69,7 +77,7 @@ final class TermIterator(
   }
 
   private def decodeCur(): Unit =
-    if (bi < blocks.length) decoded = PostingsCodec.decodeDocTf(blocks(bi))
+    if (bi < view.nBlocks) decoded = view.decodeDocTf(bi)
 }
 
 /** Block-max WAND top-k over a set of term iterators — exact top-k for

@@ -37,8 +37,10 @@ object Demo {
     locally {
       val rows = s.postingRows(terms.take(1)).collect().sortBy(_.shard)
       if (rows.nonEmpty) {
+        val view = new graft.codec.PostingsCodec.BlobView(
+          graft.codec.PostingsCodec.concatBlobs(rows.map(_.blob).toSeq))
         val it = new graft.query.TermIterator(terms.head, rows.map(_.df).sum.toDouble,
-          1.0, BM25(), index.stats, rows.flatMap(_.blocks).toArray)
+          1.0, BM25(), index.stats, view)
         val (docs, tfs) = (new Array[Long](8), new Array[Int](8))
         val chunks = Iterator.continually(it.read(docs, tfs)).takeWhile(_ > 0).toSeq
         println(s"[read]  '${terms.head}' chunks=${chunks.mkString("+")} " +

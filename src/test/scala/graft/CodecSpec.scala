@@ -72,4 +72,49 @@ class CodecSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: shard-blob round-trip ≡ blocks; view metadata matches") {
+    forAll(postingsGen) { ps =>
+      val blocks = PostingsCodec.encodeBlocks(ps)
+      val blob = PostingsCodec.encodePostingsBlob(ps)
+      val v = new PostingsCodec.BlobView(blob)
+      assert(v.nBlocks == blocks.length)
+      blocks.zipWithIndex.foreach { case (b, i) =>
+        assert(v.minDoc(i) == b.minDoc && v.maxDoc(i) == b.maxDoc)
+        assert(v.blockN(i) == b.n && v.blockMaxTf(i) == b.maxTf)
+        assert(v.decodeDocTf(i).toSeq == PostingsCodec.decodeDocTf(b).toSeq)
+        assert(v.decodePostings(i).map(p => (p.docId, p.tf, p.positions.toSeq)).toSeq
+          == PostingsCodec.decodeBlock(b).map(p => (p.docId, p.tf, p.positions.toSeq)).toSeq)
+      }
+      assert(v.isDocOrdered)
+      assert(v.totalN == ps.length.toLong)
+      // decodeBlob materializes identical standalone blocks
+      val back = PostingsCodec.decodeBlob(blob)
+      assert(back.map(b => (b.minDoc, b.maxDoc, b.n, b.maxTf, b.data.toSeq)).toSeq
+        == blocks.map(b => (b.minDoc, b.maxDoc, b.n, b.maxTf, b.data.toSeq)).toSeq)
+    }
+  }
+
+  test("concatBlobs ≡ encoding the concatenated postings' blocks verbatim") {
+    val a = (0L until 300L).map(d => Posting(d, 1, Array(1))).toIndexedSeq
+    val b = (300L until 450L).map(d => Posting(d, 2, Array(1, 4))).toIndexedSeq
+    val merged = PostingsCodec.concatBlobs(
+      Seq(PostingsCodec.encodePostingsBlob(a), PostingsCodec.encodePostingsBlob(b)))
+    val v = new PostingsCodec.BlobView(merged)
+    assert(v.isDocOrdered)
+    assert(v.allPostings.map(p => (p.docId, p.tf)).toSeq
+      == (a ++ b).map(p => (p.docId, p.tf)))
+    // block boundaries preserved from the inputs (concat does not re-pack)
+    assert(v.nBlocks == PostingsCodec.encodeBlocks(a).length
+      + PostingsCodec.encodeBlocks(b).length)
+  }
+
+  test("BlobView.isDocOrdered detects interleaved ranges") {
+    val a = PostingsCodec.encodePostingsBlob(
+      IndexedSeq(Posting(0, 1, Array(1)), Posting(10, 1, Array(1))))
+    val b = PostingsCodec.encodePostingsBlob(
+      IndexedSeq(Posting(5, 1, Array(1))))
+    val v = new PostingsCodec.BlobView(PostingsCodec.concatBlobs(Seq(a, b)))
+    assert(!v.isDocOrdered)
+  }
 }

@@ -72,9 +72,10 @@ class EndToEndSpec extends AnyFunSuite {
     def freshIter(): TermIterator = {
       val rows = searcher.postingRows(Seq("plays")).collect()
         .sortBy(_.shard)
-      val blocks = rows.flatMap(_.blocks).toArray
+      val view = new graft.codec.PostingsCodec.BlobView(
+        graft.codec.PostingsCodec.concatBlobs(rows.map(_.blob).toSeq))
       new TermIterator("plays", 4.0, 1.0, graft.query.BM25(),
-        CorpusStats(4, 5.75), blocks)
+        CorpusStats(4, 5.75), view)
     }
     def readAll(bufSize: Int): Seq[Int] = {
       val it = freshIter()
@@ -183,6 +184,36 @@ class EndToEndSpec extends AnyFunSuite {
       assert(canon(idx) === baseCanon, s"mode=$mode")
       assert(decoded(idx) === baseDec, s"mode=$mode")
     }
+  }
+
+  test("segment merge survives docIds interleaved across input partitions") {
+    // fromText accepts any pre-existing id column; round-robin
+    // repartitioning interleaves id ranges across partitions, so the
+    // map-side partial blobs are NOT range-disjoint — the merge must
+    // detect that (minDoc monotonicity check) and decode-sort-re-encode
+    // instead of concatenating, or WAND's maxDoc block skip corrupts.
+    val docs = (0L until 64L)
+      .map(i => (i, s"alpha tok$i beta ${if (i % 3 == 0) "gamma" else "delta"}"))
+      .toDF("doc_id", "text")
+      .repartition(5) // hash/round-robin: interleaves id ranges
+    val interleaved = IndexBuilder.fromText(spark, docs, "doc_id", "text",
+      cfg = IndexConfig(shardSizeDocs = 1L << 20, buildMode = "segment"))
+    val sorted = IndexBuilder.fromText(spark, docs.orderBy("doc_id").coalesce(1),
+      "doc_id", "text", cfg = IndexConfig(shardSizeDocs = 1L << 20, buildMode = "sort"))
+    def rows(idx: graft.build.InvertedIndex) = {
+      val s = new Searcher(spark, idx)
+      s.matches(Seq("gamma", "alpha")).collect()
+        .map(m => (m.term, m.docId, m.tf)).sortBy(_.toString).toSeq
+    }
+    assert(rows(interleaved) === rows(sorted))
+    // WAND ≡ exhaustive on the interleaved build (block skip intact)
+    val s = new Searcher(spark, interleaved)
+    assert(s.topKWand(Seq("gamma", "alpha"), 10).collect().map(_.toSeq).toSeq
+      === s.topK(Seq("gamma", "alpha"), 10).collect().map(_.toSeq).toSeq)
+    // and every stored blob ends up docId-ordered
+    val blobs = interleaved.postings.select("blob").collect()
+      .map(_.getAs[Array[Byte]](0))
+    assert(blobs.forall(b => new graft.codec.PostingsCodec.BlobView(b).isDocOrdered))
   }
 
   test("sha256 row invariant (D4)") {

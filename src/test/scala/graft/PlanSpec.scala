@@ -35,11 +35,11 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters"), plan.take(500))
     assert(plan.contains("EqualTo(field,content)")
       || plan.contains("IsNotNull(term)"), plan.take(1500))
-    // column pruning: the scan must NOT read the blocks payload for
+    // column pruning: the scan must NOT read the blob payload for
     // a dictionary-only projection
     val dictPlan = planOf(diskIndex.postings.select("field", "term", "df")
       .where(org.apache.spark.sql.functions.col("term") === "merge"))
-    assert(!dictPlan.contains("blocks"), dictPlan.take(1500))
+    assert(!dictPlan.contains("blob"), dictPlan.take(1500))
   }
 
   test("top-k compiles to TakeOrderedAndProject (no full sort)") {
