@@ -316,8 +316,10 @@ object TextPipeline {
     buckets.groupBy("bucket").agg(count(lit(1)).as("n"))
   }
 
-  /** IVF-style ANN: search only the query's coarse partition (here the
-    * `label` column stands in for the cluster assignment). */
+  /** IVF-style ANN over a PRE-SUPPLIED coarse partition (the `label`
+    * column): search only the query's partition. This is the
+    * oracle-checked surface (SQL-expressible); `ivfKmeansTopK` below is
+    * the same search shape with a real, engine-built quantizer. */
   def ivfTopK(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
     val qLabel = emb.where(col("vec_id") === queryVecId)
       .select("label").head().getInt(0)
@@ -326,4 +328,83 @@ object TextPipeline {
 
   private def cosineTopKWithin(emb: DataFrame, queryVecId: Long, k: Int): DataFrame =
     cosineTopK(emb, queryVecId, k)
+
+  // ---- IVF with a real coarse quantizer (seeded k-means) -------------------
+
+  /** Deterministic seeded Lloyd k-means over the embedding column.
+    * Seeds = the k lowest vec_ids; each iteration broadcasts the k×d
+    * centroid matrix in the assignment closure and recomputes centroids
+    * from a (k·d)-row aggregate — per iteration: one narrow pass over
+    * the vectors plus a k·d-row shuffle; nothing corpus-sized reaches
+    * the driver. Empty clusters keep their previous centroid. */
+  def kmeansCentroids(emb: DataFrame, k: Int, nIter: Int): Array[Array[Double]] = {
+    require(k >= 1 && nIter >= 0)
+    var cents: Array[Array[Double]] = emb.orderBy("vec_id").limit(k)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var it = 0
+    while (it < nIter) {
+      val assignU = nearestUdf(cents)
+      val sums = emb
+        .select(assignU(col("embedding")).as("c"),
+          posexplode(col("embedding")).as(Seq("i", "v")))
+        .groupBy("c", "i")
+        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone()) // empty cluster → keep centroid
+      sums.foreach { r =>
+        val c = r.getInt(0); val i = r.getInt(1)
+        next(c)(i) = r.getDouble(2) / r.getLong(3).toDouble
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** Argmin-squared-distance assignment against a broadcast-in-closure
+    * centroid matrix. */
+  private def nearestUdf(cents: Array[Array[Double]]) =
+    udf { (v: Seq[Float]) =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val ctr = cents(c)
+        var d = 0.0; var i = 0
+        while (i < ctr.length) {
+          val x = v(i).toDouble - ctr(i); d += x * x; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+  /** IVF ANN with an engine-built quantizer: cluster with seeded
+    * k-means, then exact-search only the nProbe clusters whose
+    * centroids are nearest the query vector. nProbe = nClusters
+    * degrades gracefully to exact brute force (recall 1.0); at scale
+    * the assignment column is precomputed once and the probed scan is
+    * a partition-pruned read, so per-query cost is ~nProbe/nClusters
+    * of the corpus. */
+  def ivfKmeansTopK(
+      emb: DataFrame,
+      queryVecId: Long,
+      k: Int,
+      nClusters: Int = 8,
+      nIter: Int = 3,
+      nProbe: Int = 1): DataFrame = {
+    val cents = kmeansCentroids(emb, nClusters, nIter)
+    val q = emb.where(col("vec_id") === queryVecId)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val byDist = cents.zipWithIndex.map { case (ctr, c) =>
+      var d = 0.0; var i = 0
+      while (i < ctr.length) { val x = q(i) - ctr(i); d += x * x; i += 1 }
+      (d, c)
+    }.sortBy(t => (t._1, t._2)).map(_._2)
+    val probe = byDist.take(math.min(nProbe, cents.length)).toSeq
+    val assignU = nearestUdf(cents)
+    cosineTopK(emb.where(assignU(col("embedding")).isin(probe: _*)),
+      queryVecId, k)
+  }
 }

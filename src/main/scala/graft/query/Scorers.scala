@@ -29,6 +29,24 @@ sealed trait Scorer extends Serializable {
   def docFactor(nMatched: Int, queryDfs: Seq[Double], stats: CorpusStats): Double
 }
 
+/** Field-boost wrapper (reference: per-field boost config,
+  * hbasene create/IndexConfiguration.java:142-148): scales every
+  * per-(term, doc) contribution AND the WAND upper bounds by the same
+  * positive factor, so θ-pruning stays sound and the exhaustive/WAND
+  * rank identity is preserved for any boost > 0. */
+final case class Boosted(inner: Scorer, boost: Double) extends Scorer {
+  require(boost > 0.0, s"boost must be positive, got $boost")
+  override def name: String = s"${inner.name}^$boost"
+  override def contribution(tf: Double, df: Double, dl: Double, stats: CorpusStats): Double =
+    inner.contribution(tf, df, dl, stats) * boost
+  override def contributionCol(tf: Column, df: Column, dl: Column, stats: CorpusStats): Column =
+    inner.contributionCol(tf, df, dl, stats) * lit(boost)
+  override def upperBound(maxTf: Double, df: Double, stats: CorpusStats): Double =
+    inner.upperBound(maxTf, df, stats) * boost
+  override def docFactor(nMatched: Int, queryDfs: Seq[Double], stats: CorpusStats): Double =
+    inner.docFactor(nMatched, queryDfs, stats)
+}
+
 final case class BM25(k1: Double = 1.2, b: Double = 0.75) extends Scorer {
   override def name: String = "bm25"
 

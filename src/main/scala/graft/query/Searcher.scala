@@ -236,6 +236,32 @@ final class Searcher(
       .limit(limit)
       .select("term", "df", "cf")
 
+  /** Ordered dictionary scan across ALL fields from a (field, term)
+    * key — the reference's HBaseTermEnum iterates the whole field/term
+    * keyspace, not one field (HBaseTermEnum.java:86-100;
+    * TestHBaseTermEnum.java:61-72 asserts multiple fields appear). */
+  def termEnumAll(fromField: String, fromTerm: String, limit: Int): DataFrame =
+    index.termStats
+      .where(col("field") > fromField
+        || (col("field") === fromField && col("term") >= fromTerm))
+      .orderBy(asc("field"), asc("term"))
+      .limit(limit)
+      .select("field", "term", "df", "cf")
+
+  /** docKey → docId point lookup (the reference's doc2int reverse map,
+    * HBaseIndexStore.java:154-159) — for re-indexing or joining
+    * external labels by natural key. The docKey column exists on
+    * code-corpus/table builds; a predicate-pushdown point scan here,
+    * a broadcast-joinable `docs.select(docKey, docId)` for bulk use. */
+  def lookupDocId(docKey: String): Option[Long] =
+    index.docs.where(col("docKey") === docKey).select("docId")
+      .limit(1).collect().headOption.map(_.getLong(0))
+
+  /** docId → docKey (the forward int2doc map). */
+  def lookupDocKey(docId: Long): Option[String] =
+    index.docs.where(col("docId") === docId).select("docKey")
+      .limit(1).collect().headOption.map(_.getString(0))
+
   /** Fetch stored docs for hits (reference C7 — semi-join after rank). */
   def fetch(hits: DataFrame, cols: Seq[String]): DataFrame =
     hits.join(index.docs.select((Seq("docId") ++ cols).map(col): _*), Seq("docId"))

@@ -186,6 +186,52 @@ class EndToEndSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-field termEnum iterates the whole (field, term) keyspace") {
+    // reference TestHBaseTermEnum.java:61-72 — enumeration surfaces
+    // MULTIPLE fields, each entry with df > 0, ordered by (field, term)
+    val all = searcher.termEnumAll("", "", 1000)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(all.map(_._1).toSet === Set("content", "lang", "path"))
+    assert(all.forall(_._3 > 0)) // df > 0
+    assert(all.map(e => (e._1, e._2)) === all.map(e => (e._1, e._2)).sorted)
+    // seek: start mid-keyspace, at (lang, "") — content terms excluded
+    val fromLang = searcher.termEnumAll("lang", "", 1000)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(fromLang.map(_._1).toSet === Set("lang", "path"))
+    assert(fromLang.size < all.size)
+  }
+
+  test("docKey <-> docId point lookups (reference doc2int/int2doc)") {
+    val key = "ref/FourthTimes@c0"
+    val id = searcher.lookupDocId(key)
+    assert(id === Some(docIdOf("FourthTimes")))
+    assert(searcher.lookupDocKey(id.get) === Some(key))
+    assert(searcher.lookupDocId("ref/NoSuchDoc@c0") === None)
+    assert(searcher.lookupDocKey(999L) === None)
+  }
+
+  test("field boost scales scores and preserves exhaustive/WAND identity") {
+    import graft.query.Boosted
+    val terms = Seq("plays", "messi", "manchester")
+    val base = searcher.topK(terms, 4).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val boosted = searcher.topK(terms, 4, Boosted(BM25(), 2.5))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(base.map(_._1).toSeq === boosted.map(_._1).toSeq) // same ranking
+    base.zip(boosted).foreach { case ((_, s0), (_, s1)) =>
+      assert(math.abs(s1 - s0 * 2.5) < 1e-12)
+    }
+    // WAND with a boosted scorer stays rank- and score-identical
+    val wand = searcher.topKWand(terms, 4, Boosted(BM25(), 2.5))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(wand.toSeq === boosted.toSeq)
+    // and for the legacy scorer too (non-trivial docFactor)
+    val lb = searcher.topK(terms, 4, Boosted(LegacyTfIdf, 0.3))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val lw = searcher.topKWand(terms, 4, Boosted(LegacyTfIdf, 0.3))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(lb === lw)
+  }
+
   test("segment merge survives docIds interleaved across input partitions") {
     // fromText accepts any pre-existing id column; round-robin
     // repartitioning interleaves id ranges across partitions, so the
