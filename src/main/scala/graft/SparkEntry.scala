@@ -52,7 +52,8 @@ object SparkEntry {
     "text_quality" -> ((s, d) => T.quality(T.documents(s, d))),
     "text_tokcount" -> ((s, d) => T.tokenCounts(T.documents(s, d))),
     "text_fingerprint" -> ((s, d) => T.fingerprint(T.documents(s, d))),
-    "media_meta" -> ((s, d) => E.mediaMeta(s, d)))
+    "media_meta" -> ((s, d) => E.mediaMeta(s, d)),
+    "media_frames" -> ((s, d) => E.mediaFrames(s, d)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -113,4 +113,30 @@ object EngineQueries {
         octet_length(col("bin")).cast("long").as("n_bytes"),
         ((octet_length(col("bin")) + lit(63)).cast("long") / 64L).cast("long").as("n_frames"),
         ascii(col("text")).cast("long").as("head"))
+
+  /** Frame-sample + feature-extract over the opaque binary column:
+    * fixed-size frame split, then a REAL byte-level typed pass per
+    * frame (sum/min/max byte value) — the exact batch shape a media
+    * feature extractor has; only the decode step is an identity stub
+    * (no media libs in this environment). The oracle recomputes the
+    * same features on the char side, valid because the synthetic
+    * corpus is pure ASCII (1 char = 1 byte — asserted in the oracle
+    * by octet_length = length). */
+  def mediaFrames(s: SparkSession, dir: String, frameBytes: Int = 64): DataFrame = {
+    import s.implicits._
+    TextPipeline.documents(s, dir)
+      .select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        bytes.grouped(frameBytes).zipWithIndex.map { case (fr, i) =>
+          var sum = 0L; var mn = 255L; var mx = 0L
+          fr.foreach { b =>
+            val v = (b & 0xFF).toLong
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+          }
+          (id, i.toLong, fr.length.toLong, sum, mn, mx)
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_bytes", "byte_sum", "byte_min", "byte_max")
+  }
 }

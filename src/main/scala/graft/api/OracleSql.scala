@@ -305,5 +305,21 @@ FROM emitted e JOIN tid t USING (term) GROUP BY e.doc_id"""),
 SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
        ((octet_length(encode(text)) + 63) // 64)::BIGINT AS n_frames,
        ascii(text)::BIGINT AS head
-FROM documents""")
+FROM documents""",
+
+    // char-side recompute of the engine's byte-level frame features —
+    // valid iff the corpus is pure ASCII (1 char = 1 byte), which the
+    // octet_length(encode(x)) = length(x) predicate enforces: a
+    // non-ASCII doc would change the engine/oracle row counts and fail
+    // the compare loudly rather than silently diverge
+    "media_frames" -> """
+WITH b AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents
+  WHERE octet_length(encode(text)) > 0 AND octet_length(encode(text)) = length(text)),
+f AS (SELECT doc_id, text, len, unnest(range((len + 63) // 64)) AS fi FROM b),
+c AS (SELECT doc_id, text, fi, unnest(range(least(64, len - fi * 64))) AS ci FROM f),
+a AS (SELECT doc_id, fi, ascii(substring(text, (fi * 64 + ci + 1)::INT, 1)) AS v FROM c)
+SELECT doc_id, fi::BIGINT AS frame_idx, count(*)::BIGINT AS frame_bytes,
+       sum(v)::BIGINT AS byte_sum, min(v)::BIGINT AS byte_min, max(v)::BIGINT AS byte_max
+FROM a GROUP BY 1, 2""")
 }

@@ -40,12 +40,23 @@ final class Searcher(
 
   private def stats = index.stats
 
-  /** Slim (docId, dl) lookup for scoring joins. Hinted broadcast while
-    * it plausibly fits (16 bytes/doc → ~160 MB at 10M docs); beyond
-    * that Catalyst plans a shuffle join and the WAND path (dl
-    * co-partitioned by shard) is the right tool anyway. */
-  private def dlLookup: org.apache.spark.sql.DataFrame = {
-    val slim = index.docs.select(col("docId"), col("dl").cast("double").as("dl"))
+  /** Slim (docId, dl) lookup for scoring joins, semi-join pruned to
+    * the doc-range shards that actually hold postings for the query's
+    * terms — for selective queries this shrinks the dl side from N to
+    * |touched shards|·shardSize rows in BOTH regimes (smaller
+    * broadcast below the hint gate; less shuffled data above it).
+    * Hinted broadcast while the unpruned corpus plausibly fits
+    * (16 bytes/doc → ~160 MB at 10M docs); beyond that Catalyst plans
+    * a shuffle join on docId, which shares its partitioning with the
+    * downstream per-doc aggregation. */
+  private def dlLookup(terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val touched = broadcast(postingRows(terms).select("shard").distinct())
+    val slim = index.docs
+      .select(col("docId"), col("dl").cast("double").as("dl"))
+      .withColumn("shard",
+        (col("docId") / lit(index.config.shardSizeDocs)).cast("long"))
+      .join(touched, Seq("shard"), "left_semi")
+      .select("docId", "dl")
     if (stats.numDocs <= 10_000_000L) broadcast(slim) else slim
   }
 
@@ -95,7 +106,7 @@ final class Searcher(
     val dfLookup = typedlit(dfs.map { case (t, d) => t -> d.toDouble })
 
     val m = matches(qTerms).toDF()
-      .join(dlLookup, Seq("docId"))
+      .join(dlLookup(qTerms), Seq("docId"))
       .withColumn("df", element_at(dfLookup, col("term")))
       .withColumn("tscore",
         scorer.contributionCol(col("tf").cast("double"), col("df"), col("dl"), stats))
@@ -205,7 +216,7 @@ final class Searcher(
     val phraseTf = starts.groupBy("docId").agg(count(lit(1)).as("tf")).cache()
     val df = phraseTf.count().toDouble // docs containing the phrase (materializes cache)
     val withDl = phraseTf
-      .join(dlLookup, Seq("docId"))
+      .join(dlLookup(terms.distinct), Seq("docId"))
       .withColumn("score", scorer.contributionCol(
         col("tf").cast("double"), lit(df), col("dl"), stats))
     withDl.orderBy(desc("score"), asc("docId")).limit(k)

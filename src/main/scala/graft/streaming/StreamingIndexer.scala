@@ -23,10 +23,11 @@ import graft.table.TableFormat
   * skips — same idempotence the resume path uses).
   *
   * `loadMerged` unions all segments: postings merge by pure block
-  * concatenation, which requires batches to carry NON-OVERLAPPING
-  * docId ranges (true for monotone id assignment upstream, e.g. an
-  * append-only table with increasing ids). Overlapping ranges would
-  * need a decode-merge compaction (future work — flagged at load).
+  * concatenation when batches carry NON-OVERLAPPING docId ranges
+  * (true for monotone id assignment upstream, e.g. an append-only
+  * table with increasing ids); interleaved ranges are detected at
+  * merge (blob minDoc monotonicity check, IndexBuilder.mergeBlobs)
+  * and handled by decode-sort-re-encode compaction.
   */
 object StreamingIndexer {
 
