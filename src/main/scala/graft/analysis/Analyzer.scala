@@ -43,28 +43,87 @@ object Analyzer extends Serializable {
   /** Longest stop word is 5 chars — cheap pre-filter in hot loops. */
   private val MaxStopLen = EnglishStopWords.map(_.length).max
 
-  /** Direct char-scan over the lowercased text (no regex/Match
-    * allocation — this is the build hot path). Calls f(term, pos) for
-    * every RAW token, stop words included, pos 1-based. */
-  @inline def scanRaw(text: String)(f: (String, Int) => Unit): Unit = {
+  /** Stop words grouped by length for allocation-free charwise lookup
+    * against the scan buffer (≤ 14 candidates per bucket). */
+  private val stopByLen: Array[Array[String]] = {
+    val a = Array.fill(MaxStopLen + 1)(Array.empty[String])
+    EnglishStopWords.groupBy(_.length).foreach { case (l, ws) =>
+      a(l) = ws.toArray.sorted
+    }
+    a
+  }
+
+  @inline private def isStopBuf(buf: Array[Char], len: Int): Boolean = {
+    if (len > MaxStopLen) return false
+    val cands = stopByLen(len)
+    var i = 0
+    while (i < cands.length) {
+      val w = cands(i)
+      var j = 0
+      while (j < len && w.charAt(j) == buf(j)) j += 1
+      if (j == len) return true
+      i += 1
+    }
+    false
+  }
+
+  /** ASCII uppercase → lowercase; identical to Locale.ROOT lowercasing
+    * for every char that can become part of a [a-z0-9_] token. */
+  @inline private def lower(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+
+  /** Core scan — THE build hot path, zero per-token allocation: each
+    * raw token is lowercased into a reused char buffer and handed to
+    * `emit(buf, len, pos)` (pos 1-based, stop words included; callers
+    * materialize a String only for tokens they keep). ASCII text is
+    * lowercased inline per char (== Locale.ROOT for ASCII); any
+    * non-ASCII char falls back to a full Locale.ROOT lowercase pass so
+    * tokenization stays byte-identical to the previous whole-string
+    * behavior (e.g. Kelvin sign 'K' → 'k' still joins a token). */
+  @inline private def scanBuf(text: String)(emit: (Array[Char], Int, Int) => Unit): Unit = {
     if (text == null) return
-    // Locale.ROOT: under e.g. a Turkish default locale 'I' would
-    // lowercase to dotless 'ı', silently changing tokenization and
-    // breaking parity with the oracle's lower().
-    val s = text.toLowerCase(java.util.Locale.ROOT)
+    var ascii = true
+    var k = 0
+    val n0 = text.length
+    while (ascii && k < n0) {
+      if (text.charAt(k) >= 0x80) ascii = false
+      k += 1
+    }
+    val s = if (ascii) text else text.toLowerCase(java.util.Locale.ROOT)
     val n = s.length
+    var buf = new Array[Char](32)
     var i = 0
     var pos = 0
     while (i < n) {
-      while (i < n && !isTokenChar(s.charAt(i))) i += 1
+      while (i < n && !isTokenChar(lower(s.charAt(i)))) i += 1
       if (i < n) {
-        val start = i
-        while (i < n && isTokenChar(s.charAt(i))) i += 1
+        var len = 0
+        var c = lower(s.charAt(i))
+        while (isTokenChar(c)) {
+          if (len == buf.length) buf = java.util.Arrays.copyOf(buf, len * 2)
+          buf(len) = c
+          len += 1
+          i += 1
+          c = if (i < n) lower(s.charAt(i)) else ' '
+        }
         pos += 1
-        f(s.substring(start, i), pos)
+        emit(buf, len, pos)
       }
     }
   }
+
+  /** Calls f(term, pos) for every RAW token, stop words included,
+    * pos 1-based (one String allocation per raw token). */
+  @inline def scanRaw(text: String)(f: (String, Int) => Unit): Unit =
+    scanBuf(text)((buf, len, pos) => f(new String(buf, 0, len), pos))
+
+  /** Calls f(term, pos) for every EMITTED (non-stopword) token —
+    * stopwords are filtered against the scan buffer BEFORE the term
+    * String is allocated. This is what the indexing path uses. */
+  @inline def foreachEmitted(text: String)(f: (String, Int) => Unit): Unit =
+    scanBuf(text) { (buf, len, pos) =>
+      if (!isStopBuf(buf, len)) f(new String(buf, 0, len), pos)
+    }
 
   /** Raw tokens (lowercased, split), stop words INCLUDED — position
     * source of truth. */
@@ -78,10 +137,7 @@ object Analyzer extends Serializable {
     * removed, positions 1-based counting stopword gaps. */
   def tokenize(text: String): Seq[(String, Int)] = {
     val out = Seq.newBuilder[(String, Int)]
-    scanRaw(text) { (t, pos) =>
-      if (t.length > MaxStopLen || !EnglishStopWords.contains(t))
-        out += ((t, pos))
-    }
+    foreachEmitted(text)((t, pos) => out += ((t, pos)))
     out.result()
   }
 
@@ -90,12 +146,11 @@ object Analyzer extends Serializable {
     tokenize(text).map { case (t, p) => TermOcc(field, t, p) }
 
   /** Emitted-token count (document length for BM25's dl): number of
-    * non-stopword tokens. Allocation-light. */
+    * non-stopword tokens. ZERO allocation — tokens are counted and
+    * stop-checked in the scan buffer, never materialized. */
   def docLen(text: String): Int = {
     var n = 0
-    scanRaw(text) { (t, _) =>
-      if (t.length > MaxStopLen || !EnglishStopWords.contains(t)) n += 1
-    }
+    scanBuf(text)((buf, len, _) => if (!isStopBuf(buf, len)) n += 1)
     n
   }
 }

@@ -105,33 +105,53 @@ object IndexBuilder {
 
   val TokenizedField = "content"
 
+  /** Growable unboxed int buffer for per-(doc, term) positions —
+    * ArrayBuffer[Int] would box every position. */
+  private[graft] final class IntBuf {
+    private var arr = new Array[Int](4)
+    private var len = 0
+    def add(v: Int): Unit = {
+      if (len == arr.length) arr = java.util.Arrays.copyOf(arr, len * 2)
+      arr(len) = v
+      len += 1
+    }
+    def toArray: Array[Int] = java.util.Arrays.copyOf(arr, len)
+  }
+
   /** Doc-local analysis: one input row → TermDocOcc rows per distinct
     * (field, term), tf/positions aggregated in-memory per doc (B2 with
     * no shuffle). Untokenized fields get the reference's sentinel
-    * position [0] (HBaseIndexWriter.java:68-69,145-150). */
+    * position [0] (HBaseIndexWriter.java:68-69,145-150).
+    * Allocation-lean: stopwords are filtered in the analyzer's scan
+    * buffer before term Strings exist; maps are keyed per field (no
+    * tuple key per token); positions accumulate unboxed. */
   private[graft] def analyzeDoc(
       docId: Long,
       tokenized: Seq[(String, String)],
       untokenized: Seq[(String, String)]): Iterator[(String, String, Long, Int, Seq[Int])] = {
-    val acc = scala.collection.mutable.LinkedHashMap
-      .empty[(String, String), scala.collection.mutable.ArrayBuffer[Int]]
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long, Int, Seq[Int])]
     tokenized.foreach { case (field, text) =>
-      Analyzer.tokenize(text).foreach { case (term, pos) =>
-        acc.getOrElseUpdate((field, term),
-          scala.collection.mutable.ArrayBuffer.empty[Int]) += pos
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, IntBuf]
+      Analyzer.foreachEmitted(text) { (term, pos) =>
+        m.getOrElseUpdate(term, new IntBuf).add(pos)
+      }
+      m.foreach { case (t, ps) =>
+        val arr = ps.toArray
+        out += ((field, t, docId, arr.length,
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)))
       }
     }
     untokenized.foreach { case (field, value) =>
-      if (value != null && value.nonEmpty) {
-        val k = (field, value.toLowerCase(java.util.Locale.ROOT))
-        acc.getOrElseUpdate(k,
-          scala.collection.mutable.ArrayBuffer.empty[Int]) += 0
-      }
+      if (value != null && value.nonEmpty)
+        out += ((field, value.toLowerCase(java.util.Locale.ROOT), docId, 1,
+          ZeroPos))
     }
-    acc.iterator.map { case ((f, t), ps) =>
-      (f, t, docId, ps.length, ps.toSeq)
-    }
+    out.iterator
   }
+
+  private val ZeroPos: Seq[Int] =
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(Array(0))
 
   /** Map-side partial posting segments: each input partition
     * tokenizes its docs and encodes COMPLETE partial posting lists
@@ -377,7 +397,7 @@ object IndexBuilder {
       .withColumn("docId",
         offsetUdf(col("_metadata.file_name")) + col("_metadata.row_index"))
       .withColumn("content_sha256", sha2(col("content"), 256))
-      .withColumn("dl", docLenUdf(col("content")))
+      .withColumn("dl", docLenCol(col("content")))
     build(spark, withIds, Seq(TokenizedField), Seq("path", "lang"), cfg)
   }
 
@@ -440,7 +460,7 @@ object IndexBuilder {
       else assignDocIds(keyed, Seq("docKey"), nPart)
     val docs = withIds
       .withColumn("content_sha256", sha2(col("content"), 256))
-      .withColumn("dl", docLenUdf(col("content")))
+      .withColumn("dl", docLenCol(col("content")))
     build(spark, docs,
       tokenized = Seq(TokenizedField),
       untokenized = Seq("path", "lang"),
@@ -459,12 +479,15 @@ object IndexBuilder {
     val docs = df
       .withColumn("docId", col(idCol).cast("long"))
       .withColumn("content_sha256", sha2(col(textCol), 256))
-      .withColumn("dl", docLenUdf(col(textCol)))
+      .withColumn("dl", docLenCol(col(textCol)))
       .withColumnRenamed(textCol, TokenizedField)
     build(spark, docs, Seq(TokenizedField), untokenized, cfg)
   }
 
-  private val docLenUdf = udf((s: String) => Analyzer.docLen(s).toLong)
+  /** dl via the NATIVE codegen'd expression (stays inside
+    * WholeStageCodegen; no UDF row conversion). */
+  private def docLenCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.sql.GraftFunctions.docLenCol(c).cast("long")
 
   /** Core DAG shared by both entry points. `docs` must carry docId,
     * dl, content_sha256 and the field columns. */

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+import graft.sql.{GraftExtensions, GraftFunctions}
+
+/** Native Catalyst analyzer expressions (graft_doclen/graft_tokenize):
+  * SQL-callable, codegen'd, and bit-identical to the Scala analyzer. */
+class SqlFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestBase.spark
+    GraftFunctions.register(s)
+    s
+  }
+  import spark.implicits._
+
+  test("graft_doclen / graft_tokenize are SQL-callable with analyzer semantics") {
+    val r = spark.sql(
+      "SELECT graft_doclen('Messi plays for Barcelona') AS dl, " +
+        "graft_tokenize('Messi plays for Barcelona') AS ts").head()
+    assert(r.getInt(0) === 3) // 'for' is a stopword
+    assert(r.getSeq[String](1) === Seq("messi", "plays", "barcelona"))
+    // null propagates
+    assert(spark.sql("SELECT graft_doclen(CAST(NULL AS STRING))").head().isNullAt(0))
+  }
+
+  test("expression results identical to the Scala analyzer over real docs") {
+    val docs = graft.pipeline.TextPipeline
+      .documents(spark, "/root/testdata/sf0.001").limit(50)
+    val viaExpr = docs
+      .select(col("doc_id"), expr("graft_doclen(text)").as("dl"),
+        expr("graft_tokenize(text)").as("ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[String](2).toSeq))
+    val viaScala = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        (id, Analyzer.docLen(t), Analyzer.tokenize(t).map(_._1).toSeq)
+      }
+    assert(viaExpr.sortBy(_._1).toSeq === viaScala.sortBy(_._1).toSeq)
+  }
+
+  test("expressions run inside whole-stage codegen") {
+    val df = spark.range(100).toDF("i")
+      .select(expr("graft_doclen(concat('alpha beta tok', i)) ") .as("dl"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan.take(1000)) // WholeStageCodegen marker
+  }
+
+  test("GraftExtensions injects the same function set") {
+    // smoke: the plug-in entry point wires without error (a fresh
+    // SparkSession with spark.sql.extensions would exercise it fully;
+    // the shared-session test above covers the registered behavior)
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+}
