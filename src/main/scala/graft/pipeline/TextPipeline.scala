@@ -280,18 +280,26 @@ object TextPipeline {
     * baseline; scale path = lshBuckets / ivfTopK below). Dot products
     * via zip_with + fixed-order fold (codegen'd, deterministic). */
   def cosineTopK(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
-    val spark = emb.sparkSession
     val q = emb.where(col("vec_id") === queryVecId)
-      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    cosineTopKVec(emb, q, k, excludeId = Some(queryVecId))
+  }
+
+  /** Cosine top-k against an explicit query vector. */
+  def cosineTopKVec(
+      emb: DataFrame,
+      q: Array[Double],
+      k: Int,
+      excludeId: Option[Long] = None): DataFrame = {
     val qNorm = math.sqrt(q.map(x => x * x).sum)
-    val qCol = typedlit(q)
+    val qCol = typedlit(q.toSeq)
     val dot = aggregate(
       zip_with(col("embedding"), qCol, (a, b) => a.cast("double") * b),
       lit(0.0), (acc, x) => acc + x)
     val na = aggregate(
       transform(col("embedding"), a => a.cast("double") * a.cast("double")),
       lit(0.0), (acc, x) => acc + x)
-    emb.where(col("vec_id") =!= queryVecId)
+    excludeId.map(id => emb.where(col("vec_id") =!= id)).getOrElse(emb)
       .withColumn("cos", dot / (sqrt(na) * lit(qNorm)))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
@@ -397,14 +405,57 @@ object TextPipeline {
     val cents = kmeansCentroids(emb, nClusters, nIter)
     val q = emb.where(col("vec_id") === queryVecId)
       .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
-    val byDist = cents.zipWithIndex.map { case (ctr, c) =>
+    val probe = clustersByDistance(cents, q)
+      .take(math.min(nProbe, cents.length)).toSeq
+    val assignU = nearestUdf(cents)
+    cosineTopK(emb.where(assignU(col("embedding")).isin(probe: _*)),
+      queryVecId, k)
+  }
+
+  /** Rank cluster ids by squared distance of their centroid to q. */
+  private def clustersByDistance(cents: Array[Array[Double]], q: Array[Double]): Array[Int] =
+    cents.zipWithIndex.map { case (ctr, c) =>
       var d = 0.0; var i = 0
       while (i < ctr.length) { val x = q(i) - ctr(i); d += x * x; i += 1 }
       (d, c)
     }.sortBy(t => (t._1, t._2)).map(_._2)
-    val probe = byDist.take(math.min(nProbe, cents.length)).toSeq
+
+  /** Persist an IVF layout: vectors written PARTITIONED BY cluster id
+    * (each coarse cell is its own parquet directory) plus a k-row
+    * centroid table. At query time only the probed clusters' files are
+    * read — directory-level partition pruning, the on-disk form of the
+    * IVF inverted lists. */
+  def ivfWrite(emb: DataFrame, root: String, nClusters: Int = 8, nIter: Int = 3): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroids(emb, nClusters, nIter)
     val assignU = nearestUdf(cents)
-    cosineTopK(emb.where(assignU(col("embedding")).isin(probe: _*)),
-      queryVecId, k)
+    emb.withColumn("cluster", assignU(col("embedding")))
+      .write.mode("overwrite").partitionBy("cluster")
+      .option("compression", "snappy").parquet(s"$root/vectors")
+    cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+  }
+
+  /** Query a persisted IVF layout: rank centroids by distance to the
+    * query vector (k-row driver read), then cosine top-k over ONLY the
+    * nProbe nearest clusters — the scan must show a cluster partition
+    * filter (asserted in AnnSpec). */
+  def ivfQuery(
+      spark: SparkSession,
+      root: String,
+      q: Array[Double],
+      k: Int,
+      nProbe: Int,
+      excludeId: Option[Long] = None): DataFrame = {
+    val cents = spark.read.parquet(s"$root/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val probe = clustersByDistance(cents, q).take(math.min(nProbe, cents.length)).toSeq
+    val vecs = spark.read.parquet(s"$root/vectors")
+      .where(col("cluster").isin(probe: _*))
+    cosineTopKVec(vecs, q, k, excludeId)
   }
 }

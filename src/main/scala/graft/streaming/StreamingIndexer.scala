@@ -74,6 +74,23 @@ object StreamingIndexer {
       }
       .toSeq.sortBy(n => n.stripPrefix(prefix).toLong)
 
+  /** Compact all committed segment snapshots into ONE persisted
+    * docs/postings/termStats/stats snapshot set under `root/compacted`
+    * (the reference's segment merge / Lucene optimize, as a batch job):
+    * postings merge by blob concatenation (re-encoding fragmented or
+    * interleaved runs), termStats and corpus stats derive from the
+    * written tables. The result loads with `IndexTables.load` — query
+    * cost no longer grows with the number of ingested micro-batches.
+    * Old segment snapshots stay on disk (immutable); callers delete
+    * them once the compacted manifest is committed. */
+  def compact(spark: SparkSession, root: String,
+      cfg: IndexConfig = IndexConfig()): InvertedIndex = {
+    val merged = loadMerged(spark, root, cfg)
+    val out = s"$root/compacted"
+    graft.table.IndexTables.write(spark, merged, out)
+    graft.table.IndexTables.load(spark, out)
+  }
+
   /** Merge all committed segments into one queryable index. */
   def loadMerged(spark: SparkSession, root: String,
       cfg: IndexConfig = IndexConfig()): InvertedIndex = {

@@ -33,6 +33,27 @@ class AnnSpec extends AnyFunSuite {
     assert(ivf === exact)
   }
 
+  test("persisted IVF layout: partition-pruned probe, exact at full probe") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    TextPipeline.ivfWrite(emb, root, nClusters = 6, nIter = 2)
+    // cluster directories exist (one per non-empty coarse cell)
+    val dirs = new java.io.File(s"$root/vectors").listFiles()
+      .filter(_.getName.startsWith("cluster=")).map(_.getName).toSet
+    assert(dirs.nonEmpty && dirs.subsetOf((0 until 6).map(c => s"cluster=$c").toSet))
+    val q = emb.where(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    // full probe ≡ brute force
+    val exact = topIds(TextPipeline.cosineTopK(emb, 0L, 10))
+    val full = TextPipeline.ivfQuery(spark, root, q, 10, nProbe = 6, excludeId = Some(0L))
+    assert(topIds(full) === exact)
+    // nProbe=2: the scan plan must carry a cluster partition filter
+    val probed = TextPipeline.ivfQuery(spark, root, q, 10, nProbe = 2, excludeId = Some(0L))
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      plan.take(2000))
+  }
+
   test("recall@10 is monotone in nProbe and reaches 1.0 at full probe") {
     val exact = topIds(TextPipeline.cosineTopK(emb, 0L, 10)).toSet
     def recall(nProbe: Int): Double = {

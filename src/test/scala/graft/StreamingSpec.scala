@@ -61,5 +61,21 @@ class StreamingSpec extends AnyFunSuite {
     graft.table.TableFormat.write(spark, idx.postings, root, "postings-b0", 1L)
     assert(Files.readString(
       java.nio.file.Paths.get(root, "postings-b0.manifest.json")) === before)
+
+    // compaction: segments → ONE snapshot set, loadable and identical
+    val compacted = StreamingIndexer.compact(spark, root, cfg)
+    assert(compacted.stats.numDocs === 100)
+    val sC = new Searcher(spark, compacted)
+    for (terms <- Seq(Seq("merge"), Seq("spark", "gamma3"))) {
+      val a = sM.topK(terms, 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val c = sC.topK(terms, 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(c.toSeq === a.toSeq, s"compacted terms=$terms")
+    }
+    // one postings row per (field, term, shard) after compaction —
+    // same as the merged view (merge already coalesces partials)
+    assert(compacted.postings.count() === merged.postings.count())
+    // compaction is itself idempotent (manifest-gated)
+    val again = StreamingIndexer.compact(spark, root, cfg)
+    assert(again.postings.count() === compacted.postings.count())
   }
 }
