@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import graft.analysis.Analyzer
 import graft.codec.PostingsCodec
-import graft.model.{CodeDoc, CorpusStats, Posting, PostingBlock}
+import graft.model.{CodeDoc, CorpusStats, Posting}
 
 /** Build configuration.
   *

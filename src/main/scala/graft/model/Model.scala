@@ -28,27 +28,16 @@ final case class TermOcc(field: String, term: String, pos: Int)
   * tf == positions.length (AlphaTermPositionsEncoder.java:51-54). */
 final case class Posting(docId: Long, tf: Int, positions: Array[Int])
 
-/** Block metadata kept alongside each encoded posting block; drives
-  * block skipping / block-max WAND (SURVEY.md §2 D2). */
-final case class BlockMeta(minDoc: Long, maxDoc: Long, n: Int, maxTf: Int)
-
-/** An encoded posting block: metadata + delta/varint payload. */
+/** An encoded posting block: metadata + delta/varint payload.
+  * The metadata fields drive block skipping / block-max WAND
+  * (SURVEY.md §2 D2); on disk, a shard row's blocks are packed into
+  * one self-describing blob (PostingsCodec.encodeBlob). */
 final case class PostingBlock(
     minDoc: Long,
     maxDoc: Long,
     n: Int,
     maxTf: Int,
     data: Array[Byte])
-
-/** A term dictionary entry with its posting blocks.
-  * df = number of documents, cf = total term frequency. */
-final case class TermPostings(
-    field: String,
-    term: String,
-    df: Long,
-    cf: Long,
-    maxTf: Int,
-    blocks: Array[PostingBlock])
 
 /** Corpus statistics broadcast to the scorer (reference keeps these as
   * HBase counter rows, HBaseIndexReader.java:231-266). */
