@@ -115,7 +115,42 @@ object IndexBuilder {
       arr(len) = v
       len += 1
     }
+    def length: Int = len
+    /** Backing array — valid up to `length`. */
+    def raw: Array[Int] = arr
     def toArray: Array[Int] = java.util.Arrays.copyOf(arr, len)
+  }
+
+  private[graft] final class LongBuf {
+    private var arr = new Array[Long](8)
+    private var len = 0
+    def add(v: Long): Unit = {
+      if (len == arr.length) arr = java.util.Arrays.copyOf(arr, len * 2)
+      arr(len) = v
+      len += 1
+    }
+    def length: Int = len
+    def raw: Array[Long] = arr
+  }
+
+  /** Columnar partial posting accumulator for one (field, term) in one
+    * input partition: parallel docId/tf arrays + flattened positions —
+    * no Posting objects, no per-posting position arrays. */
+  private final class PartialAcc {
+    val docIds = new LongBuf
+    val tfs = new IntBuf
+    val posFlat = new IntBuf
+    def add(docId: Long, ps: IntBuf): Unit = {
+      docIds.add(docId)
+      tfs.add(ps.length)
+      val raw = ps.raw
+      var i = 0
+      while (i < ps.length) { posFlat.add(raw(i)); i += 1 }
+    }
+    /** Untokenized field value: tf 1, sentinel position 0. */
+    def addSentinel(docId: Long): Unit = {
+      docIds.add(docId); tfs.add(1); posFlat.add(0)
+    }
   }
 
   /** Doc-local analysis: one input row → TermDocOcc rows per distinct
@@ -166,50 +201,101 @@ object IndexBuilder {
       untokenized: Seq[String],
       shardSize: Long): DataFrame = {
     import spark.implicits._
-    val tokSet = tokenized.toSet
     slim.mapPartitions { rows =>
-      val acc = scala.collection.mutable.LinkedHashMap
-        .empty[(String, String), scala.collection.mutable.ArrayBuffer[Posting]]
+      // per-field term maps (string keys — no tuple allocation per
+      // token); values are columnar accumulators (no Posting objects)
+      val fields = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.LinkedHashMap[String, PartialAcc]]
+      def fieldAcc(f: String) = fields.getOrElseUpdate(f,
+        scala.collection.mutable.LinkedHashMap.empty[String, PartialAcc])
       rows.foreach { row =>
         val docId = row.getAs[Long]("docId")
-        val tok = tokenized.map(f => (f, row.getAs[String](f)))
-        val untok = untokenized.map(f => (f, row.getAs[String](f)))
-        analyzeDoc(docId, tok.filter(t => tokSet.contains(t._1)), untok)
-          .foreach { case (f, t, d, tf, ps) =>
-            acc.getOrElseUpdate((f, t),
-              scala.collection.mutable.ArrayBuffer.empty[Posting]) +=
-              Posting(d, tf, ps.toArray)
+        tokenized.foreach { f =>
+          val fa = fieldAcc(f)
+          // doc-local (term → positions) aggregation, then one append
+          // per distinct term into the partition-level columnar run
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, IntBuf]
+          Analyzer.foreachEmitted(row.getAs[String](f)) { (term, pos) =>
+            m.getOrElseUpdate(term, new IntBuf).add(pos)
           }
+          m.foreach { case (t, ps) =>
+            fa.getOrElseUpdate(t, new PartialAcc).add(docId, ps)
+          }
+        }
+        untokenized.foreach { f =>
+          val v = row.getAs[String](f)
+          if (v != null && v.nonEmpty)
+            fieldAcc(f).getOrElseUpdate(
+              v.toLowerCase(java.util.Locale.ROOT), new PartialAcc)
+              .addSentinel(docId)
+        }
       }
-      acc.iterator.flatMap { case ((f, t), ps) =>
-        // rows are usually docId-ordered within a partition, but file
-        // bin-packing can interleave ranges — verify, sort if needed
-        var sorted = true
-        var c = 1
-        while (sorted && c < ps.length) {
-          if (ps(c - 1).docId > ps(c).docId) sorted = false
-          c += 1
-        }
-        if (!sorted) ps.sortInPlace()(Ordering.by((p: Posting) => p.docId))
-        // split the docId-ordered run by shard boundary, encode each
-        var i = 0
-        val out = scala.collection.mutable.ArrayBuffer
-          .empty[(String, String, Long, Long, Long, Int, Array[Byte])]
-        while (i < ps.length) {
-          val shard = ps(i).docId / shardSize
-          var j = i
-          var cf = 0L; var maxTf = 0
-          while (j < ps.length && ps(j).docId / shardSize == shard) {
-            cf += ps(j).tf; if (ps(j).tf > maxTf) maxTf = ps(j).tf
-            j += 1
-          }
-          val blob = PostingsCodec.encodePostingsBlob(ps.slice(i, j).toIndexedSeq)
-          out += ((f, t, shard, (j - i).toLong, cf, maxTf, blob))
-          i = j
-        }
-        out.iterator
+      fields.iterator.flatMap { case (f, terms) =>
+        terms.iterator.flatMap { case (t, acc) => emitShardRuns(f, t, acc, shardSize) }
       }
     }.toDF("field", "term", "shard", "df", "cf", "maxTf", "blob")
+  }
+
+  /** Split one (field, term) columnar run by shard boundary and encode
+    * each run straight from the columnar arrays. Rows are usually
+    * docId-ordered within a partition, but file bin-packing can
+    * interleave ranges — verified; the rare unsorted case materializes
+    * and sorts Posting objects. */
+  private def emitShardRuns(
+      f: String,
+      t: String,
+      acc: PartialAcc,
+      shardSize: Long): Iterator[(String, String, Long, Long, Long, Int, Array[Byte])] = {
+    val n = acc.docIds.length
+    var dIds = acc.docIds.raw
+    var tfsR = acc.tfs.raw
+    var posR = acc.posFlat.raw
+    var sorted = true
+    var c = 1
+    while (sorted && c < n) {
+      if (dIds(c - 1) > dIds(c)) sorted = false
+      c += 1
+    }
+    if (!sorted) {
+      // materialize, sort, rebuild the columnar run
+      val ps = new Array[Posting](n)
+      var i = 0
+      var off = 0
+      while (i < n) {
+        ps(i) = Posting(dIds(i), tfsR(i),
+          java.util.Arrays.copyOfRange(posR, off, off + tfsR(i)))
+        off += tfsR(i)
+        i += 1
+      }
+      java.util.Arrays.sort(ps, Ordering.by((p: Posting) => p.docId))
+      val re = new PartialAcc
+      ps.foreach { p =>
+        val b = new IntBuf
+        p.positions.foreach(b.add)
+        re.add(p.docId, b)
+      }
+      dIds = re.docIds.raw; tfsR = re.tfs.raw; posR = re.posFlat.raw
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long, Long, Long, Int, Array[Byte])]
+    var i = 0
+    var posOff = 0
+    while (i < n) {
+      val shard = dIds(i) / shardSize
+      var j = i
+      var cf = 0L
+      var maxTf = 0
+      while (j < n && dIds(j) / shardSize == shard) {
+        cf += tfsR(j); if (tfsR(j) > maxTf) maxTf = tfsR(j)
+        j += 1
+      }
+      val blob = PostingsCodec.encodeColumnarBlob(dIds, tfsR, posR, i, j, posOff)
+      out += ((f, t, shard, (j - i).toLong, cf, maxTf, blob))
+      var k = i
+      while (k < j) { posOff += tfsR(k); k += 1 }
+      i = j
+    }
+    out.iterator
   }
 
   /** Merge partial segments per (field, term, shard): pure block-list

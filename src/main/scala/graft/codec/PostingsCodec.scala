@@ -218,6 +218,52 @@ object PostingsCodec {
     encodeBlob(scala.collection.immutable.ArraySeq.unsafeWrapArray(blocks))
   }
 
+  /** Encode a COLUMNAR run of postings [from, to) straight to a shard
+    * blob — the segment build's zero-object path: docIds/tfs are
+    * parallel arrays (docIds ascending), positions live flattened in
+    * `posFlat` with posting `from`'s positions starting at `posStart`.
+    * Produces bytes identical to encodePostingsBlob over the
+    * equivalent Posting objects (cross-validated in CodecSpec). */
+  def encodeColumnarBlob(
+      docIds: Array[Long],
+      tfs: Array[Int],
+      posFlat: Array[Int],
+      from: Int,
+      to: Int,
+      posStart: Int): Array[Byte] = {
+    val blocks = ArrayBuffer.empty[PostingBlock]
+    var i = from
+    var posOff = posStart
+    while (i < to) {
+      val blockStart = i
+      val end = math.min(i + BlockSize, to)
+      val minDoc = docIds(i)
+      val maxDoc = docIds(end - 1)
+      var maxTf = 0
+      val out = new ByteArrayOutputStream(256)
+      var prevDoc = minDoc
+      while (i < end) {
+        writeVarLong(out, docIds(i) - prevDoc)
+        prevDoc = docIds(i)
+        val tf = tfs(i)
+        writeVarLong(out, tf.toLong)
+        var prevPos = 0
+        var j = 0
+        while (j < tf) {
+          val p = posFlat(posOff)
+          writeVarLong(out, (p - prevPos).toLong)
+          prevPos = p
+          posOff += 1
+          j += 1
+        }
+        if (tf > maxTf) maxTf = tf
+        i += 1
+      }
+      blocks += PostingBlock(minDoc, maxDoc, end - blockStart, maxTf, out.toByteArray)
+    }
+    encodeBlob(blocks.toIndexedSeq)
+  }
+
   /** Materialize a blob back into standalone PostingBlocks (payload
     * copies — use BlobView for the read hot path). */
   def decodeBlob(blob: Array[Byte]): Array[PostingBlock] = {

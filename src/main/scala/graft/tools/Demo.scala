@@ -57,6 +57,13 @@ object Demo {
     show("phrase  ", s.phraseTopK(terms.take(2), 5))
     show("sorted  ", s.sortedTopK(terms.take(1), "lang", ascending = true, 5))
     show("fetch   ", s.fetch(s.topK(terms, 3), Seq("lang", "n_chars")))
+    show("enumAll ", s.termEnumAll("lang", "", 5))
+    show("boosted ", s.topK(terms, 3, graft.query.Boosted(BM25(), 2.0)))
+    // SQL surface: native analyzer expressions
+    graft.sql.GraftFunctions.register(spark)
+    show("sql     ", spark.sql(
+      "SELECT graft_doclen('Messi plays for Barcelona') AS dl, " +
+        "graft_tokenize('Messi plays for Barcelona') AS toks"))
     spark.stop()
   }
 }

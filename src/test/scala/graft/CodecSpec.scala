@@ -95,6 +95,28 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("property: columnar encode ≡ object encode, byte-identical") {
+    forAll(postingsGen) { ps =>
+      val docIds = ps.map(_.docId).toArray
+      val tfs = ps.map(_.tf).toArray
+      val posFlat = ps.flatMap(_.positions).toArray
+      val viaColumnar = PostingsCodec.encodeColumnarBlob(
+        docIds, tfs, posFlat, 0, ps.length, 0)
+      val viaObjects = PostingsCodec.encodePostingsBlob(ps)
+      assert(viaColumnar.toSeq == viaObjects.toSeq)
+      // sub-range encode matches the sliced object encode too
+      if (ps.length >= 3) {
+        val from = 1; val to = ps.length - 1
+        val posStart = tfs.take(from).sum
+        val subCol = PostingsCodec.encodeColumnarBlob(
+          docIds, tfs, posFlat, from, to, posStart)
+        val subObj = PostingsCodec.encodePostingsBlob(
+          ps.slice(from, to).toIndexedSeq)
+        assert(subCol.toSeq == subObj.toSeq)
+      }
+    }
+  }
+
   test("concatBlobs ≡ encoding the concatenated postings' blocks verbatim") {
     val a = (0L until 300L).map(d => Posting(d, 1, Array(1))).toIndexedSeq
     val b = (300L until 450L).map(d => Posting(d, 2, Array(1, 4))).toIndexedSeq
