@@ -78,4 +78,52 @@ class StreamingSpec extends AnyFunSuite {
     val again = StreamingIndexer.compact(spark, root, cfg)
     assert(again.postings.count() === compacted.postings.count())
   }
+
+  test("streaming first-seen dedup keeps one row per content hash across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val deduped = graft.streaming.StreamingDedup.firstSeen(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    try {
+      // batch 1: two distinct contents, one in-batch duplicate
+      input.addData(Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "alpha beta")))
+      q.processAllAvailable()
+      // batch 2: cross-batch duplicate + one new content
+      input.addData(Seq((4L, "alpha beta"), (5L, "epsilon zeta")))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, text FROM dedup_out")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      // first occurrence wins: 1 (alpha beta), 2 (gamma delta), 5 (epsilon)
+      assert(rows.toSeq === Seq(
+        (1L, "alpha beta"), (2L, "gamma delta"), (5L, "epsilon zeta")))
+    } finally q.stop()
+  }
+
+  test("watermarked windowed token rate aggregates by event time") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val rate = graft.streaming.StreamingDedup.tokenRate(
+      input.toDF().toDF("ts", "text"), "ts", "text",
+      windowLen = "10 seconds", watermark = "5 seconds")
+    val q = rate.writeStream.format("memory")
+      .queryName("rate_out").outputMode("complete").start()
+    try {
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+      input.addData(Seq(
+        (ts(100), "alpha beta gamma"),      // window [100,110): 3 tokens
+        (ts(105), "delta epsilon"),         // same window: +2
+        (ts(112), "zeta eta theta iota")))  // window [110,120): 4
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window_start, n_docs, n_tokens FROM rate_out ORDER BY window_start")
+        .collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq === Seq((100L, 2L, 5L), (110L, 1L, 4L)))
+    } finally q.stop()
+  }
 }
