@@ -47,6 +47,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s, d) => T.simhashPairs(T.documents(s, d), 8)),
     "embed_knn" -> ((s, d) => T.cosineTopK(T.embeddings(s, d), 0L, 10)),
     "embed_lsh_buckets" -> ((s, d) => T.lshBuckets(T.embeddings(s, d))),
+    "embed_dup_pairs" -> ((s, d) => T.embedCosinePairs(T.embeddings(s, d), 0.4)),
     "embed_ivf_knn" -> ((s, d) => T.ivfTopK(T.embeddings(s, d), 0L, 5)),
     "text_langid" -> ((s, d) => T.langId(T.documents(s, d))),
     "text_quality" -> ((s, d) => T.quality(T.documents(s, d))),

@@ -236,6 +236,35 @@ bkt AS (
   FROM bits GROUP BY 1)
 SELECT bucket, count(*)::BIGINT AS n FROM bkt GROUP BY 1""",
 
+    "embed_dup_pairs" -> """
+WITH e AS (
+  SELECT vec_id, round(unnest(embedding)::DOUBLE * 1000.0)::BIGINT AS qv,
+         generate_subscripts(embedding, 1) - 1 AS i
+  FROM embeddings),
+pl AS (
+  SELECT vec_id, i, qv, b.b, ((b.b * 7919 + i * 104729) % 97) - 48 AS w
+  FROM e CROSS JOIN range(8) b(b)),
+bits AS (SELECT vec_id, b, sum(qv * w) AS s FROM pl GROUP BY 1, 2),
+bkt AS (
+  SELECT vec_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS bucket
+  FROM bits GROUP BY 1),
+cand AS (
+  SELECT x.vec_id AS a, y.vec_id AS b FROM bkt x
+  JOIN bkt y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+ev AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS v, generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM ev GROUP BY 1),
+dots AS (
+  SELECT c.a, c.b, sum(ea.v * eb.v) AS dot
+  FROM cand c
+  JOIN ev ea ON ea.vec_id = c.a
+  JOIN ev eb ON eb.vec_id = c.b AND eb.i = ea.i
+  GROUP BY 1, 2)
+SELECT d.a, d.b, round(d.dot / (na.n * nb.n), 3) AS sim
+FROM dots d JOIN nrm na ON d.a = na.vec_id JOIN nrm nb ON d.b = nb.vec_id
+WHERE d.dot / (na.n * nb.n) >= 0.4""",
+
     "embed_ivf_knn" -> """
 WITH sub AS (
   SELECT * FROM embeddings

@@ -310,7 +310,12 @@ object TextPipeline {
     * round(x·1000) BIGINT first so the per-plane sign is EXACT integer
     * arithmetic (no float-sum sign flips across engines); 8 planes,
     * weights w(b,i) = ((7919b + 104729i) mod 97) − 48. */
-  def lshBuckets(emb: DataFrame, nPlanes: Int = 8): DataFrame = {
+  def lshBuckets(emb: DataFrame, nPlanes: Int = 8): DataFrame =
+    vectorBuckets(emb, nPlanes).groupBy("bucket").agg(count(lit(1)).as("n"))
+
+  /** (vec_id, bucket) hyperplane-LSH assignment — shared by the bucket
+    * histogram and the near-dup pair blocking. */
+  def vectorBuckets(emb: DataFrame, nPlanes: Int = 8): DataFrame = {
     val q = emb.select(col("vec_id"),
       posexplode(col("embedding")).as(Seq("i", "v")))
       .withColumn("qv", round(col("v").cast("double") * 1000.0).cast("long"))
@@ -318,10 +323,35 @@ object TextPipeline {
         explode(sequence(lit(0), lit(nPlanes - 1))).as("b"))
       .withColumn("w", (col("b") * 7919L + col("i") * 104729L) % 97L - 48L)
     val bits = planes.groupBy("vec_id", "b").agg(sum(col("qv") * col("w")).as("s"))
-    val buckets = bits.groupBy("vec_id")
+    bits.groupBy("vec_id")
       .agg(sum(when(col("s") > 0, expr("shiftleft(1L, cast(b as int))"))
         .otherwise(0L)).as("bucket"))
-    buckets.groupBy("bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** Embedding-cosine near-dup pairs: hyperplane-LSH bucket blocking
+    * (same integer-exact bucket ⇒ candidate) + exact cosine verify
+    * ≥ tau. Same-bucket semantics IS the operator — the shuffle key is
+    * the bucket value, so pair volume is per-bucket, never O(n²); at
+    * scale recall is tuned by nPlanes (fewer planes → bigger buckets →
+    * higher recall, more verify work). */
+  def embedCosinePairs(emb: DataFrame, tau: Double, nPlanes: Int = 8): DataFrame = {
+    val withB = emb.join(vectorBuckets(emb, nPlanes), "vec_id")
+      .select("vec_id", "bucket", "embedding")
+    val pairs = withB.as("x").join(withB.as("y"),
+      col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+    val dot = aggregate(
+      zip_with(col("x.embedding"), col("y.embedding"),
+        (a, b) => a.cast("double") * b.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    def norm(c: org.apache.spark.sql.Column) = sqrt(aggregate(
+      transform(c, a => a.cast("double") * a.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    pairs
+      .withColumn("cos",
+        dot / (norm(col("x.embedding")) * norm(col("y.embedding"))))
+      .where(col("cos") >= tau)
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(col("cos"), 3).as("sim"))
   }
 
   /** IVF-style ANN over a PRE-SUPPLIED coarse partition (the `label`
