@@ -51,7 +51,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val errJson = errors
-      .map { case (k, v) => "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\n\r]", " ").take(120) + "\"" }
+      .map { case (k, v) => "\"" + k + "\":\"" +
+        v.replaceAll("[\\\\\"\\x00-\\x1f]", " ").take(120) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =

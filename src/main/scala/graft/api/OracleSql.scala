@@ -263,7 +263,7 @@ dots AS (
   GROUP BY 1, 2)
 SELECT d.a, d.b, round(d.dot / (na.n * nb.n), 3) AS sim
 FROM dots d JOIN nrm na ON d.a = na.vec_id JOIN nrm nb ON d.b = nb.vec_id
-WHERE d.dot / (na.n * nb.n) >= 0.4""",
+WHERE round(d.dot / (na.n * nb.n), 3) >= 0.4""",
 
     "embed_ivf_knn" -> """
 WITH sub AS (

@@ -323,7 +323,7 @@ object IndexBuilder {
         partials.repartition(cfg.buildPartitions, col("field"), col("term"), col("shard"))
       else partials
     // firstDoc orders the partials; reading it costs two header varints
-    val firstDocUdf = udf((b: Array[Byte]) => new PostingsCodec.BlobView(b).firstMinDoc)
+    val firstDocUdf = udf((b: Array[Byte]) => PostingsCodec.blobFirstMinDoc(b))
     val merged = in.withColumn("firstDoc", firstDocUdf(col("blob")))
       .groupBy("field", "term", "shard")
       .agg(
@@ -571,9 +571,11 @@ object IndexBuilder {
   }
 
   /** dl via the NATIVE codegen'd expression (stays inside
-    * WholeStageCodegen; no UDF row conversion). */
+    * WholeStageCodegen; no UDF row conversion). Null text → dl 0, not
+    * NULL: avgdl must include empty docs (oracle-parity contract), and
+    * a NULL dl would nullify scoring-join contributions. */
   private def docLenCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    graft.sql.GraftFunctions.docLenCol(c).cast("long")
+    coalesce(graft.sql.GraftFunctions.docLenCol(c).cast("long"), lit(0L))
 
   /** Core DAG shared by both entry points. `docs` must carry docId,
     * dl, content_sha256 and the field columns. */

@@ -264,6 +264,14 @@ object PostingsCodec {
     encodeBlob(blocks.toIndexedSeq)
   }
 
+  /** First block's minDoc without building a BlobView — two varints.
+    * (The merge path calls this once per partial row.) */
+  def blobFirstMinDoc(blob: Array[Byte]): Long = {
+    val r = new Reader(blob)
+    val n = r.readVarLong()
+    if (n == 0) 0L else r.readVarLong()
+  }
+
   /** Materialize a blob back into standalone PostingBlocks (payload
     * copies — use BlobView for the read hot path). */
   def decodeBlob(blob: Array[Byte]): Array[PostingBlock] = {

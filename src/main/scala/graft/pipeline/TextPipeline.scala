@@ -193,7 +193,10 @@ object TextPipeline {
     val bandVals = (0 until nBands).map { b =>
       shiftright(col("simhash"), lows(b)).bitwiseAND(lit((1L << widths(b)) - 1))
     }
-    val s = simhash(docs).cache() // two join sides read it once each
+    // localCheckpoint: both self-join sides read the one materialized
+    // simhash result; unlike cache() it is not pinned in the session
+    // CacheManager, so repeated calls don't accumulate storage
+    val s = simhash(docs).localCheckpoint()
     val banded = s.select(col("doc_id"), col("simhash"),
       posexplode(array(bandVals: _*)).as(Seq("band", "bval")))
     banded.as("x").join(banded.as("y"),
@@ -346,12 +349,16 @@ object TextPipeline {
     def norm(c: org.apache.spark.sql.Column) = sqrt(aggregate(
       transform(c, a => a.cast("double") * a.cast("double")),
       lit(0.0), (acc, v) => acc + v))
+    // threshold on the ROUNDED cosine: the raw double differs between
+    // engines by summation order at ~1e-16, and a membership decision
+    // on the unrounded value could flip a boundary pair; rounding first
+    // aligns the filter with the emitted `sim` value (the repo's
+    // round-at-the-output-edge parity rule)
     pairs
-      .withColumn("cos",
-        dot / (norm(col("x.embedding")) * norm(col("y.embedding"))))
-      .where(col("cos") >= tau)
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        round(col("cos"), 3).as("sim"))
+      .withColumn("sim", round(
+        dot / (norm(col("x.embedding")) * norm(col("y.embedding"))), 3))
+      .where(col("sim") >= tau)
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"), col("sim"))
   }
 
   /** IVF-style ANN over a PRE-SUPPLIED coarse partition (the `label`

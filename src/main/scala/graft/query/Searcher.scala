@@ -211,10 +211,13 @@ final class Searcher(
     val starts = terms.zipWithIndex
       .map { case (t, i) => posDf(t, i) }
       .reduce((a, b) => a.join(b, Seq("docId", "start")))
-    // cache before the df count — otherwise the positions join runs
-    // twice (once for the count, again in the scoring plan)
-    val phraseTf = starts.groupBy("docId").agg(count(lit(1)).as("tf")).cache()
-    val df = phraseTf.count().toDouble // docs containing the phrase (materializes cache)
+    // localCheckpoint (eager): the positions join runs ONCE, its result
+    // is materialized for both the df count and the scoring plan, and —
+    // unlike cache() — it is NOT pinned in the session CacheManager, so
+    // the blocks free once this query's DataFrames are unreferenced
+    val phraseTf = starts.groupBy("docId").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val df = phraseTf.count().toDouble // docs containing the phrase
     val withDl = phraseTf
       .join(dlLookup(terms.distinct), Seq("docId"))
       .withColumn("score", scorer.contributionCol(

@@ -44,6 +44,7 @@ object StreamingIndexer {
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
         val spark = batch.sparkSession
+        writeIngestConfig(root, cfg)
         val idx = IndexBuilder.fromText(spark, batch, idCol, textCol,
           untokenized, cfg)
         TableFormat.write(spark, idx.docs, root, s"docs-b$batchId",
@@ -53,6 +54,30 @@ object StreamingIndexer {
         ()
       }
     }
+
+  /** Persist the build config alongside the segments: the shard width
+    * is baked into every stored posting row, so a reader MUST use the
+    * same value — loadMerged restores it rather than trusting the
+    * caller's (possibly defaulted) cfg. */
+  private def writeIngestConfig(root: String, cfg: IndexConfig): Unit = {
+    val p = Paths.get(root, "ingest_config.json")
+    if (!Files.exists(p)) {
+      Files.createDirectories(Paths.get(root))
+      val tmp = Paths.get(root, s"_tmp_ingest_config_${System.nanoTime()}.json")
+      Files.writeString(tmp, s"""{"shardSizeDocs":${cfg.shardSizeDocs}}""")
+      try Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp); ()
+      }
+    }
+  }
+
+  private def readIngestShardSize(root: String): Option[Long] = {
+    val p = Paths.get(root, "ingest_config.json")
+    if (!Files.exists(p)) None
+    else "\"shardSizeDocs\":([0-9]+)".r
+      .findFirstMatchIn(Files.readString(p)).map(_.group(1).toLong)
+  }
 
   def start(
       stream: DataFrame,
@@ -86,25 +111,35 @@ object StreamingIndexer {
   def compact(spark: SparkSession, root: String,
       cfg: IndexConfig = IndexConfig()): InvertedIndex = {
     val merged = loadMerged(spark, root, cfg)
-    val out = s"$root/compacted"
+    // output versioned by the newest ingested segment: re-running on
+    // the same segment set is an idempotent no-op (manifest-gated),
+    // while new batches produce a FRESH compaction instead of silently
+    // returning the stale one
+    val latest = segmentTables(root, "postings-b").last.stripPrefix("postings-b")
+    val out = s"$root/compacted-$latest"
     graft.table.IndexTables.write(spark, merged, out)
     graft.table.IndexTables.load(spark, out)
   }
 
-  /** Merge all committed segments into one queryable index. */
+  /** Merge all committed segments into one queryable index. The shard
+    * width is restored from ingest_config.json when present — the
+    * stored posting rows' shard column was computed with it, and a
+    * mismatched width would silently mis-prune the query paths. */
   def loadMerged(spark: SparkSession, root: String,
       cfg: IndexConfig = IndexConfig()): InvertedIndex = {
+    val effCfg = readIngestShardSize(root)
+      .map(s => cfg.copy(shardSizeDocs = s)).getOrElse(cfg)
     val docTables = segmentTables(root, "docs-b")
     require(docTables.nonEmpty, s"no committed segments under $root")
     val docs = docTables.map(TableFormat.read(spark, root, _)).reduce(_ union _)
     val partials = segmentTables(root, "postings-b")
       .map(TableFormat.read(spark, root, _)).reduce(_ union _)
-    val postings = IndexBuilder.mergeSegmentRows(partials, cfg)
+    val postings = IndexBuilder.mergeSegmentRows(partials, effCfg)
     val termStats = postings.groupBy("field", "term").agg(
       sum("df").as("df"), sum("cf").as("cf"), max("maxTf").as("maxTf"))
     InvertedIndex.lazyStats(docs, postings, termStats, () => {
       val r = docs.agg(count(lit(1)), avg(col("dl").cast("double"))).collect()(0)
       CorpusStats(r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
-    }, cfg)
+    }, effCfg)
   }
 }

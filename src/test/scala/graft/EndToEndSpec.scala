@@ -262,6 +262,15 @@ class EndToEndSpec extends AnyFunSuite {
     assert(blobs.forall(b => new graft.codec.PostingsCodec.BlobView(b).isDocOrdered))
   }
 
+  test("null text indexes as dl=0 (avgdl parity: empty docs count)") {
+    val docs = Seq((0L, "alpha beta"), (1L, null.asInstanceOf[String]), (2L, ""))
+      .toDF("doc_id", "text")
+    val idx = IndexBuilder.fromText(spark, docs, "doc_id", "text")
+    val dls = idx.docs.select("docId", "dl").as[(Long, Long)].collect().toMap
+    assert(dls === Map(0L -> 2L, 1L -> 0L, 2L -> 0L))
+    assert(math.abs(idx.stats.avgDocLen - 2.0 / 3.0) < 1e-9) // N=3 incl. empties
+  }
+
   test("sha256 row invariant (D4)") {
     val bad = index.docs
       .where(sha2(col("content"), 256) =!= col("content_sha256")).count()

@@ -77,6 +77,24 @@ class StreamingSpec extends AnyFunSuite {
     // compaction is itself idempotent (manifest-gated)
     val again = StreamingIndexer.compact(spark, root, cfg)
     assert(again.postings.count() === compacted.postings.count())
+
+    // shard width restored from ingest_config.json: loadMerged with a
+    // DEFAULT cfg (wrong shardSizeDocs) must still answer correctly —
+    // the stored posting rows were sharded with cfg.shardSizeDocs=32
+    val defaultLoaded = StreamingIndexer.loadMerged(spark, root)
+    assert(defaultLoaded.config.shardSizeDocs === 32L)
+    val sD = new Searcher(spark, defaultLoaded)
+    assert(sD.topKWand(Seq("merge"), 10).collect().map(_.getLong(0)).toSeq
+      === sM.topKWand(Seq("merge"), 10).collect().map(_.getLong(0)).toSeq)
+
+    // compaction FRESHNESS: a new segment after a compact must produce
+    // a new compacted snapshot, not silently return the stale one
+    val extra = (100L until 120L).map(mkDoc).toDF("doc_id", "text")
+    val extraIdx = IndexBuilder.fromText(spark, extra, "doc_id", "text", Nil, cfg)
+    graft.table.TableFormat.write(spark, extraIdx.docs, root, "docs-b2", 3L)
+    graft.table.TableFormat.write(spark, extraIdx.postings, root, "postings-b2", 3L)
+    val recompacted = StreamingIndexer.compact(spark, root, cfg)
+    assert(recompacted.stats.numDocs === 120)
   }
 
   test("streaming first-seen dedup keeps one row per content hash across batches") {
