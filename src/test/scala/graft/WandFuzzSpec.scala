@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.build.{IndexBuilder, IndexConfig}
 import graft.model.CodeDoc
-import graft.query.{BM25, LegacyTfIdf, Searcher, Scorer}
+import graft.query.{BM25, Boosted, LegacyTfIdf, Searcher, Scorer}
 
 /** Randomized rank-identity fuzz: on seeded random corpora, the
   * block-max WAND path must return exactly the exhaustive path's
@@ -43,7 +43,8 @@ class WandFuzzSpec extends AnyFunSuite {
     for {
       terms <- queryPool
       k <- Seq(1, 3, 10)
-      scorer <- Seq[Scorer](BM25(), LegacyTfIdf)
+      scorer <- Seq[Scorer](BM25(), LegacyTfIdf,
+        Boosted(BM25(), 3.7), Boosted(LegacyTfIdf, 0.21))
       requireAll <- Seq(false, true)
     } {
       val tag = s"seed=$seed shard=$shardSize terms=$terms k=$k " +
@@ -60,7 +61,7 @@ class WandFuzzSpec extends AnyFunSuite {
     idx.unpersist()
   }
 
-  test("fuzz: 3 seeded corpora × shard sizes × 84 query combos each") {
+  test("fuzz: 3 seeded corpora × shard sizes × 168 query combos each") {
     run(seed = 7L, nDocs = 120, shardSize = 16)
     run(seed = 99L, nDocs = 200, shardSize = 64)
     run(seed = 1234L, nDocs = 80, shardSize = 1024) // single shard
