@@ -45,6 +45,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => T.minhashCandidates(T.documents(s, d))),
     "dedup_simhash" -> ((s, d) => T.simhash(T.documents(s, d))),
     "dedup_simhash_pairs" -> ((s, d) => T.simhashPairs(T.documents(s, d), 8)),
+    "dedup_groups" -> ((s, d) => T.dedupGroups(T.documents(s, d), 8)),
     "embed_knn" -> ((s, d) => T.cosineTopK(T.embeddings(s, d), 0L, 10)),
     "embed_lsh_buckets" -> ((s, d) => T.lshBuckets(T.embeddings(s, d))),
     "embed_dup_pairs" -> ((s, d) => T.embedCosinePairs(T.embeddings(s, d), 0.4)),

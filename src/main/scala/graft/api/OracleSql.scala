@@ -205,6 +205,35 @@ SELECT x.doc_id AS a, y.doc_id AS b,
 FROM sv x JOIN sv y ON x.doc_id < y.doc_id
 WHERE bit_count(xor(x.simhash, y.simhash)) <= 8"""),
 
+    // connected components need a recursive CTE — the shared TOK
+    // prefix gains the RECURSIVE keyword (legal for the whole WITH
+    // list; the non-recursive CTEs are unaffected)
+    "dedup_groups" -> (TOK.replaceFirst("\\bWITH\\b", "WITH RECURSIVE") + """
+, tfq AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM emitted GROUP BY 1, 2),
+tid AS (
+  SELECT term, row_number() OVER (ORDER BY term) AS tid
+  FROM (SELECT DISTINCT term FROM emitted)),
+hh AS (
+  SELECT f.doc_id, f.tf, (t.tid * 2654435761 + 911) % 2147483647 AS h
+  FROM tfq f JOIN tid t USING (term)),
+bits AS (
+  SELECT doc_id, b.b, sum(tf * (((h >> b.b) & 1) * 2 - 1)) AS sb
+  FROM hh CROSS JOIN range(31) b(b) GROUP BY 1, 2),
+sv AS (
+  SELECT doc_id,
+         sum(CASE WHEN sb > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY 1),
+prs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM sv x JOIN sv y ON x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.simhash, y.simhash)) <= 8),
+edges AS (SELECT a, b FROM prs UNION ALL SELECT b AS a, a AS b FROM prs),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
+SELECT src AS doc_id, min(dst)::BIGINT AS comp FROM reach GROUP BY 1"""),
+
     "embed_knn" -> """
 WITH q AS (
   SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i

@@ -210,6 +210,42 @@ object TextPipeline {
       .select(col("a"), col("b"), col("ham"))
   }
 
+  /** Dedup GROUP assignment: connected components over the simhash
+    * near-dup pair graph — every doc labelled with the MIN doc_id
+    * reachable in its component (the canonical representative;
+    * singletons label themselves). Iterative min-label propagation:
+    * each round is one join + groupBy (shuffle on doc_id), rounds =
+    * component diameter (near-dup components are tiny, so 2–4 rounds);
+    * per-round localCheckpoint truncates the lineage so the plan stays
+    * flat over iterations. This is the step that turns pair-emitting
+    * dedup into an actionable keep/drop decision. */
+  def dedupGroups(docs: DataFrame, maxHam: Int = 8): DataFrame = {
+    val pairs = simhashPairs(docs, maxHam).select("a", "b")
+    val edges = pairs
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var comp = docs.select(col("doc_id"),
+      col("doc_id").as("comp")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      // min component label among each node's neighbors
+      val nbrMin = edges
+        .join(comp.select(col("doc_id").as("b"), col("comp").as("bc")), Seq("b"))
+        .groupBy(col("a").as("doc_id"))
+        .agg(min("bc").as("nbc"))
+      val next = comp
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("nbc"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(comp.select(col("doc_id"), col("comp").as("old")), Seq("doc_id"))
+        .where(col("comp") =!= col("old")).count()
+      comp = next
+    }
+    comp
+  }
+
   // ---- text analysis -----------------------------------------------------
 
   /** Marker-stopword language heuristic (synthetic corpus carries no
