@@ -227,21 +227,32 @@ object TextPipeline {
     var comp = docs.select(col("doc_id"),
       col("doc_id").as("comp")).localCheckpoint()
     var changed = 1L
-    while (changed > 0) {
-      // min component label among each node's neighbors
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      // (1) min label among each node's neighbors
       val nbrMin = edges
         .join(comp.select(col("doc_id").as("b"), col("comp").as("bc")), Seq("b"))
         .groupBy(col("a").as("doc_id"))
         .agg(min("bc").as("nbc"))
-      val next = comp
+      // s1 is read twice by the jump self-join below; both sides
+      // recompute this small join rather than paying a materialization
+      // action per round (comp and edges are already checkpointed)
+      val s1 = comp
         .join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("comp"), coalesce(col("nbc"), col("comp"))).as("comp"))
+        .select(col("doc_id"), col("comp").as("old"),
+          least(col("comp"), coalesce(col("nbc"), col("comp"))).as("c1"))
+      // (2) pointer jumping: comp ← comp(comp); labels only shrink, so
+      // long chains collapse in O(log diameter) rounds instead of
+      // O(diameter); the fixpoint (component min) is unchanged
+      val c2 = least(col("c1"), coalesce(col("cc"), col("c1")))
+      val next = s1
+        .join(s1.select(col("doc_id").as("cid"), col("c1").as("cc")),
+          col("c1") === col("cid"), "left")
+        .select(col("doc_id"), c2.as("comp"), (col("old") =!= c2).as("chg"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(comp.select(col("doc_id"), col("comp").as("old")), Seq("doc_id"))
-        .where(col("comp") =!= col("old")).count()
-      comp = next
+      changed = next.where(col("chg")).count()
+      comp = next.select("doc_id", "comp")
+      rounds += 1
     }
     comp
   }
