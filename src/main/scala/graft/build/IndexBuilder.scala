@@ -367,6 +367,16 @@ object IndexBuilder {
     else {
       val all = views.iterator.flatMap(_.allPostings).toArray
       java.util.Arrays.sort(all, Ordering.by((p: Posting) => p.docId))
+      // a docId present in TWO partials (e.g. a re-ingested id in a
+      // later streaming batch) would double-count df/cf and per-doc
+      // scores — id collisions must fail loudly, not corrupt silently
+      var i = 1
+      while (i < all.length) {
+        require(all(i - 1).docId != all(i).docId,
+          s"duplicate docId ${all(i).docId} across partial posting blobs — " +
+            "the same document was indexed twice under one id")
+        i += 1
+      }
       PostingsCodec.encodePostingsBlob(
         scala.collection.immutable.ArraySeq.unsafeWrapArray(all))
     }
@@ -463,17 +473,63 @@ object IndexBuilder {
       spark: SparkSession,
       path: String,
       cfg: IndexConfig = IndexConfig()): InvertedIndex = {
+    val files = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+      try s.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+      finally s.close()
+    }
+    // local-FS fallback path: no catalog manifest, so per-file row
+    // counts come from the parquet footers — read CONCURRENTLY (a
+    // serial loop would be O(#files) driver latency); with a real
+    // catalog use fromTableSnapshot / fromParquetManifest instead,
+    // which skip footer I/O entirely
     val conf = new org.apache.hadoop.conf.Configuration()
-    val files = java.nio.file.Files.list(java.nio.file.Paths.get(path))
-      .iterator().asScala.map(_.toString)
-      .filter(_.endsWith(".parquet")).toSeq.sorted
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(files.size, 16)))
+    val fileRows =
+      try {
+        files.map { f =>
+          pool.submit(new java.util.concurrent.Callable[(String, Long)] {
+            def call(): (String, Long) = {
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              val n = try r.getRecordCount finally r.close()
+              (java.nio.file.Paths.get(f).getFileName.toString, n)
+            }
+          })
+        }.map(_.get())
+      } finally pool.shutdown()
+    fromParquetManifest(spark, path, fileRows, cfg)
+  }
+
+  /** Build from a TableFormat-committed snapshot: the manifest already
+    * carries per-file row counts (lineage), so docID base offsets cost
+    * ZERO footer I/O — the catalog metadata IS the offset table, which
+    * is the only form that works at 10^12 files. */
+  def fromTableSnapshot(
+      spark: SparkSession,
+      root: String,
+      table: String,
+      cfg: IndexConfig = IndexConfig()): InvertedIndex = {
+    val m = graft.table.TableFormat.readManifest(root, table)
+    fromParquetManifest(spark, m.dataPath,
+      m.files.map(f => (f.file, f.rows)), cfg)
+  }
+
+  /** Core metadata-docID build: `fileRows` = (fileName, rowCount) in
+    * any order; files are ranked by name (parquet part files sort
+    * correctly) and each row's docId = file base offset +
+    * `_metadata.row_index` — dense, deterministic, zero extra passes
+    * and zero shuffle. */
+  def fromParquetManifest(
+      spark: SparkSession,
+      path: String,
+      fileRows: Seq[(String, Long)],
+      cfg: IndexConfig = IndexConfig()): InvertedIndex = {
     var off = 0L
-    val offsets = files.map { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(new org.apache.hadoop.fs.Path(f), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      val n = try r.getRecordCount finally r.close()
-      val name = java.nio.file.Paths.get(f).getFileName.toString
+    val offsets = fileRows.sortBy(_._1).map { case (name, n) =>
       val o = (name, off); off += n; o
     }.toMap
     val offsetUdf = udf((name: String) => offsets(name))
@@ -512,10 +568,16 @@ object IndexBuilder {
   }
 
   private def addOffsets(withMid: DataFrame, cache: Boolean): DataFrame = {
-    val sorted = withMid
+    val withCols = withMid
       .withColumn("_pid", shiftright(col("_mid"), 33))
       .withColumn("_local", col("_mid").bitwiseAND(lit((1L << 33) - 1)))
-    if (cache) sorted.cache()
+    // localCheckpoint, NOT cache(): both passes (offset count +
+    // downstream read) see one materialized copy, but the blocks free
+    // when the plan is unreferenced instead of pinning in the session
+    // CacheManager — repeated pipeline queries (termIds/shingleIds
+    // call this per query) must not accumulate storage in a
+    // long-lived session
+    val sorted = if (cache) withCols.localCheckpoint() else withCols
     val counts = sorted.groupBy("_pid").count().collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     var off = 0L

@@ -35,7 +35,12 @@ final case class MatchPosRow(term: String, docId: Long, tf: Int, positions: Seq[
 final class Searcher(
     spark: SparkSession,
     index: InvertedIndex,
-    field: String = "content") {
+    field: String = "content",
+    /** Max estimated size of the PRUNED (docId, dl) side the scoring
+      * join will hint-broadcast; above it Catalyst plans a shuffle
+      * join on docId, which shares its partitioning with the
+      * downstream per-doc aggregation. */
+    dlBroadcastBytes: Long = 192L << 20) {
   import spark.implicits._
 
   private def stats = index.stats
@@ -44,20 +49,22 @@ final class Searcher(
     * the doc-range shards that actually hold postings for the query's
     * terms — for selective queries this shrinks the dl side from N to
     * |touched shards|·shardSize rows in BOTH regimes (smaller
-    * broadcast below the hint gate; less shuffled data above it).
-    * Hinted broadcast while the unpruned corpus plausibly fits
-    * (16 bytes/doc → ~160 MB at 10M docs); beyond that Catalyst plans
-    * a shuffle join on docId, which shares its partitioning with the
-    * downstream per-doc aggregation. */
+    * broadcast below the gate; less shuffled data above it). The
+    * broadcast gate is sized on the PRUNED estimate — |touched
+    * shards|·shardSize·16 B, counted by a term-pruned metadata scan —
+    * not the corpus-wide numDocs, so a selective query on an
+    * arbitrarily large corpus still broadcasts while an every-shard
+    * query near the gate never ships a ~200 MB copy to the driver. */
   private def dlLookup(terms: Seq[String]): org.apache.spark.sql.DataFrame = {
-    val touched = broadcast(postingRows(terms).select("shard").distinct())
+    val touched = postingRows(terms).select("shard").distinct()
+    val prunedBytes = touched.count() * index.config.shardSizeDocs * 16L
     val slim = index.docs
       .select(col("docId"), col("dl").cast("double").as("dl"))
       .withColumn("shard",
         (col("docId") / lit(index.config.shardSizeDocs)).cast("long"))
-      .join(touched, Seq("shard"), "left_semi")
+      .join(broadcast(touched), Seq("shard"), "left_semi")
       .select("docId", "dl")
-    if (stats.numDocs <= 10_000_000L) broadcast(slim) else slim
+    if (prunedBytes <= dlBroadcastBytes) broadcast(slim) else slim
   }
 
   /** Posting rows for the query terms — bucket/point-pruned scan

@@ -30,6 +30,9 @@ final class TermIterator(
 
   private var bi = 0
   private var di = 0
+  /** Blocks whose payload was actually decoded — the skip-efficiency
+    * observable (tests assert leapfrog decodes fewer than OR-pivot). */
+  var decodedBlocks: Int = if (view.nBlocks > 0) 1 else 0
   private var decoded: Array[(Long, Int)] =
     if (view.nBlocks > 0) view.decodeDocTf(0) else Array.empty
 
@@ -77,7 +80,7 @@ final class TermIterator(
   }
 
   private def decodeCur(): Unit =
-    if (bi < view.nBlocks) decoded = view.decodeDocTf(bi)
+    if (bi < view.nBlocks) { decoded = view.decodeDocTf(bi); decodedBlocks += 1 }
 }
 
 /** Block-max WAND top-k over a set of term iterators — exact top-k for
@@ -144,6 +147,65 @@ object Wand {
       }
     }
 
+    def drain(): Seq[ScoredDoc] = {
+      val drained: Seq[Hit] = heap.dequeueAll
+      drained.reverse.map(h => ScoredDoc(h.docId, h.score))
+    }
+
+    // Conjunctive (AND) mode: leapfrog intersection, not OR-pivoting —
+    // every term must contain the doc, so the sound-and-faster move is
+    // to advance every lagging iterator straight to max(curDoc); block
+    // skipping then jumps whole block runs of the common terms past the
+    // rare term's gaps, instead of decoding them block by block.
+    if (requireAll) {
+      // static θ-termination bound: a doc matching every term at its
+      // term-level ub can't beat θ once the heap is full and θ ≥ Σub
+      var ubSum = 0.0
+      var s = 0
+      while (s < byTerm.length) { ubSum += byTerm(s).ub * ubScale; s += 1 }
+      var done = false
+      while (!done) {
+        var maxDoc = Long.MinValue
+        var minDoc = Long.MaxValue
+        var i = 0
+        while (i < byTerm.length) {
+          val d = byTerm(i).curDoc // Long.MaxValue when exhausted
+          if (d > maxDoc) maxDoc = d
+          if (d < minDoc) minDoc = d
+          i += 1
+        }
+        if (maxDoc == Long.MaxValue) done = true // some term exhausted
+        else if (heap.size >= k && ubSum <= theta) done = true
+        else if (minDoc == maxDoc) {
+          // all terms aligned on maxDoc — candidate; block-max filter
+          var blockSum = 0.0
+          i = 0
+          while (i < byTerm.length) { blockSum += byTerm(i).blockUb * ubScale; i += 1 }
+          if (blockSum > theta || heap.size < k) {
+            var score = 0.0
+            val dl = dlOf(maxDoc)
+            i = 0
+            while (i < byTerm.length) { // byTerm is term-ascending: fixed order
+              val it = byTerm(i)
+              score += scorer.contribution(it.curTf.toDouble, it.df, dl, stats)
+              i += 1
+            }
+            score *= scorer.docFactor(nTerms, queryDfs, stats)
+            offer(maxDoc, score)
+          }
+          i = 0
+          while (i < byTerm.length) { byTerm(i).next(); i += 1 }
+        } else {
+          i = 0
+          while (i < byTerm.length) {
+            if (byTerm(i).curDoc < maxDoc) byTerm(i).advanceTo(maxDoc)
+            i += 1
+          }
+        }
+      }
+      return drain()
+    }
+
     var done = false
     while (!done) {
       java.util.Arrays.sort(iters, Ordering.by((t: TermIterator) => t.curDoc))
@@ -205,7 +267,6 @@ object Wand {
         }
       }
     }
-    val drained: Seq[Hit] = heap.dequeueAll
-    drained.reverse.map(h => ScoredDoc(h.docId, h.score))
+    drain()
   }
 }

@@ -23,8 +23,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingDedup {
 
   /** One kept row per first-seen content hash. Output columns:
-    * (doc_id, text, sha). Append-mode compatible. */
-  def firstSeen(stream: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * (doc_id, text, sha). Append-mode compatible.
+    *
+    * @param stateTtl optional processing-time TTL (e.g. "1 hour"): a
+    *   hash unseen for that long has its marker PURGED, bounding state
+    *   at one entry per distinct hash within the TTL window — the
+    *   exactness/state trade for genuinely unbounded streams (a dup
+    *   arriving after the TTL is re-emitted). None (default) keeps
+    *   exact forever-dedup with state growing by distinct-hash count. */
+  def firstSeen(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      stateTtl: Option[String] = None): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
     val keyed = stream
@@ -32,13 +43,22 @@ object StreamingDedup {
       .withColumn("sha", sha2(col("text"), 256))
       .as[(Long, String, String)]
       .groupByKey(_._3)
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     keyed
       .flatMapGroupsWithState[Boolean, (Long, String, String)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (_: String, rows: Iterator[(Long, String, String)], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty // hash already emitted once
-          else {
+          if (state.hasTimedOut) { // TTL expired: purge the marker
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) { // hash already emitted once
+            stateTtl.foreach(state.setTimeoutDuration) // dup seen: extend
+            Iterator.empty
+          } else {
             state.update(true)
+            stateTtl.foreach(state.setTimeoutDuration)
             // first row of the group in this batch wins (batch-local
             // order); emit exactly one
             var best: (Long, String, String) = null

@@ -58,19 +58,27 @@ object StreamingIndexer {
   /** Persist the build config alongside the segments: the shard width
     * is baked into every stored posting row, so a reader MUST use the
     * same value — loadMerged restores it rather than trusting the
-    * caller's (possibly defaulted) cfg. */
-  private def writeIngestConfig(root: String, cfg: IndexConfig): Unit = {
-    val p = Paths.get(root, "ingest_config.json")
-    if (!Files.exists(p)) {
-      Files.createDirectories(Paths.get(root))
-      val tmp = Paths.get(root, s"_tmp_ingest_config_${System.nanoTime()}.json")
-      Files.writeString(tmp, s"""{"shardSizeDocs":${cfg.shardSizeDocs}}""")
-      try Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp); ()
-      }
+    * caller's (possibly defaulted) cfg. Restarting an ingest with a
+    * DIFFERENT width fails fast here: new segments sharded with a new
+    * width would mismatch the persisted one and mis-prune/mis-score
+    * queries silently. */
+  private def writeIngestConfig(root: String, cfg: IndexConfig): Unit =
+    readIngestShardSize(root) match {
+      case Some(existing) =>
+        require(existing == cfg.shardSizeDocs,
+          s"index at $root was ingested with shardSizeDocs=$existing but this " +
+            s"run was configured with ${cfg.shardSizeDocs}; mixed shard widths " +
+            "corrupt WAND/dl pruning — reuse the original width or a fresh root")
+      case None =>
+        val p = Paths.get(root, "ingest_config.json")
+        Files.createDirectories(Paths.get(root))
+        val tmp = Paths.get(root, s"_tmp_ingest_config_${System.nanoTime()}.json")
+        Files.writeString(tmp, s"""{"shardSizeDocs":${cfg.shardSizeDocs}}""")
+        try Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp); ()
+        }
     }
-  }
 
   private def readIngestShardSize(root: String): Option[Long] = {
     val p = Paths.get(root, "ingest_config.json")
@@ -91,13 +99,16 @@ object StreamingIndexer {
       .option("checkpointLocation", checkpoint)
       .start()
 
-  private def segmentTables(root: String, prefix: String): Seq[String] =
-    Files.list(Paths.get(root)).iterator().asScala
+  private def segmentTables(root: String, prefix: String): Seq[String] = {
+    val s = Files.list(Paths.get(root))
+    try s.iterator().asScala
       .map(_.getFileName.toString)
       .collect { case n if n.startsWith(prefix) && n.endsWith(".manifest.json") =>
         n.stripSuffix(".manifest.json")
       }
       .toSeq.sortBy(n => n.stripPrefix(prefix).toLong)
+    finally s.close()
+  }
 
   /** Compact all committed segment snapshots into ONE persisted
     * docs/postings/termStats/stats snapshot set under `root/compacted`

@@ -77,16 +77,23 @@ object TableFormat {
     m
   }
 
+  /** Directory children, with the Files.list stream CLOSED (each open
+    * stream holds a directory fd; deep recursion / many rewrites in a
+    * long-lived driver would otherwise exhaust fds). */
+  private def listChildren(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) listChildren(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 
   /** Row count per data file from parquet footer metadata. */
   private def footerRowCounts(dir: Path): Seq[FileLineage] = {
     val conf = new org.apache.hadoop.conf.Configuration()
-    Files.list(dir).iterator().asScala
+    listChildren(dir)
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map { p =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
@@ -94,7 +101,7 @@ object TableFormat {
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try FileLineage(p.getFileName.toString, reader.getRecordCount)
         finally reader.close()
-      }.toSeq.sortBy(_.file)
+      }.sortBy(_.file)
   }
 
   private def commitManifest(root: String, m: Manifest): Unit = {
@@ -111,11 +118,11 @@ object TableFormat {
   }
 
   private def nextSnapshotId(root: String): Long = {
-    val existing = Files.list(Paths.get(root)).iterator().asScala
+    val existing = listChildren(Paths.get(root))
       .map(_.getFileName.toString)
       .collect { case n if n.contains(".snap-") =>
         n.substring(n.indexOf(".snap-") + 6).toLong
-      }.toSeq
+      }
     if (existing.isEmpty) 1L else existing.max + 1L
   }
 
