@@ -194,7 +194,7 @@ object IndexBuilder {
     * the already-encoded blocks. Only these bytes shuffle (~10× less
     * than raw occurrence rows). Requires rows docId-ordered within
     * the partition (true for both docID modes). */
-  private def segmentPartials(
+  private[graft] def segmentPartials(
       spark: SparkSession,
       slim: DataFrame,
       tokenized: Seq[String],
@@ -527,20 +527,29 @@ object IndexBuilder {
       spark: SparkSession,
       path: String,
       fileRows: Seq[(String, Long)],
-      cfg: IndexConfig = IndexConfig()): InvertedIndex = {
+      cfg: IndexConfig = IndexConfig()): InvertedIndex =
+    build(spark, tableWithIds(spark, path, fileRows),
+      Seq(TokenizedField), Seq("path", "lang"), cfg)
+
+  /** The annotated code-corpus docs DataFrame (docId from file-offset
+    * metadata, docKey, sha256, dl) — shared by the build entry point
+    * and the scaling phase probe. */
+  private[graft] def tableWithIds(
+      spark: SparkSession,
+      path: String,
+      fileRows: Seq[(String, Long)]): DataFrame = {
     var off = 0L
     val offsets = fileRows.sortBy(_._1).map { case (name, n) =>
       val o = (name, off); off += n; o
     }.toMap
     val offsetUdf = udf((name: String) => offsets(name))
-    val withIds = spark.read.parquet(path)
+    spark.read.parquet(path)
       .withColumn("docKey",
         concat_ws("", col("repo"), lit("/"), col("path"), lit("@"), col("commit")))
       .withColumn("docId",
         offsetUdf(col("_metadata.file_name")) + col("_metadata.row_index"))
       .withColumn("content_sha256", sha2(col("content"), 256))
       .withColumn("dl", docLenCol(col("content")))
-    build(spark, withIds, Seq(TokenizedField), Seq("path", "lang"), cfg)
   }
 
   /** Dense docIDs in INPUT order — zero shuffle. Per-partition local

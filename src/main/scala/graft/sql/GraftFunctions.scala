@@ -88,10 +88,12 @@ object GraftFunctions {
 
   /** Imperative registration on an existing session (for sessions not
     * created with `spark.sql.extensions=graft.sql.GraftExtensions`). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (id, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
     }
+    MatchQuery.register(spark)
+  }
 
   // Column-level API (no SQL registration needed)
   def docLenCol(c: Column): Column =
@@ -103,6 +105,8 @@ object GraftFunctions {
 /** Plug-in entry point:
   * `--conf spark.sql.extensions=graft.sql.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectTableFunction(MatchQuery.description)
+  }
 }

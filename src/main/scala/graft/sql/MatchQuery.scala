@@ -1,0 +1,97 @@
+package graft.sql
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.analysis.Analyzer
+import graft.build.InvertedIndex
+import graft.query.{BM25, Searcher}
+import graft.table.IndexTables
+
+/** `match_query('<index root>', '<free text>', k [, 'or'|'and'])` —
+  * the SQL surface of the search engine (SURVEY.md §7.3 phase 3): a
+  * table-valued function that tokenizes the query text with the
+  * engine analyzer, runs block-max WAND top-k over the persisted
+  * index at `root`, and exposes the hits as a relation
+  * (docId BIGINT, score DOUBLE).
+  *
+  * The TVF builder substitutes the ANALYZED WAND plan directly into
+  * the query tree — Catalyst then optimizes and plans it like any
+  * other subtree. No custom SparkStrategy is needed because the
+  * operator is fully declarable (the repo's stated preference order:
+  * compose existing plans before writing physical operators); the
+  * per-shard WAND cogroup inside that subtree is the same plan
+  * `Searcher.topKWand` produces for the Dataset API, so SQL and
+  * Dataset callers are rank-identical by construction.
+  */
+object MatchQuery {
+
+  type TableDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)
+
+  /** Loaded indexes are build-once/query-many artifacts — memoized per
+    * root like EngineQueries' per-dir cache. */
+  private val indexCache = TrieMap.empty[String, InvertedIndex]
+
+  private def strArg(args: Seq[Expression], i: Int, name: String): String = {
+    require(args(i).foldable, s"match_query: $name must be a literal")
+    args(i).eval() match {
+      case s: UTF8String => s.toString
+      case other => sys.error(s"match_query: $name must be a string, got $other")
+    }
+  }
+
+  private def intArg(args: Seq[Expression], i: Int, name: String): Int = {
+    require(args(i).foldable, s"match_query: $name must be a literal")
+    args(i).eval() match {
+      case n: java.lang.Integer => n.intValue()
+      case n: java.lang.Long => n.intValue()
+      case other => sys.error(s"match_query: $name must be an integer, got $other")
+    }
+  }
+
+  private def build(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 3 && args.length <= 4,
+      "usage: match_query(root, query, k[, 'or'|'and'])")
+    val spark = SparkSession.active
+    val root = strArg(args, 0, "root")
+    val query = strArg(args, 1, "query")
+    val k = intArg(args, 2, "k")
+    val mode =
+      if (args.length > 3) strArg(args, 3, "mode").toLowerCase(java.util.Locale.ROOT)
+      else "or"
+    require(mode == "or" || mode == "and", s"match_query: mode must be 'or'|'and', got $mode")
+    val terms = {
+      val b = Seq.newBuilder[String]
+      Analyzer.foreachEmitted(query)((t, _) => b += t)
+      b.result().distinct
+    }
+    val df =
+      if (terms.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(StructField("docId", LongType), StructField("score", DoubleType))))
+      else {
+        val idx = indexCache.getOrElseUpdate(root, IndexTables.load(spark, root))
+        new Searcher(spark, idx).topKWand(terms, k, BM25(), requireAll = mode == "and")
+      }
+    df.queryExecution.analyzed
+  }
+
+  val description: TableDescription = (
+    FunctionIdentifier("match_query"),
+    new ExpressionInfo("graft.sql.MatchQuery", null, "match_query",
+      "match_query(root, query, k[, mode]) - BM25 block-max-WAND top-k " +
+        "over the persisted index at root; mode 'or' (default) or 'and'", ""),
+    (args: Seq[Expression]) => build(args))
+
+  /** Imperative registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.tableFunctionRegistry
+      .registerFunction(description._1, description._2, description._3)
+}

@@ -1,0 +1,109 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.build.{IndexBuilder, IndexConfig}
+import graft.table.{IndexTables, TableFormat}
+
+/** One timed BUILD PHASE at one parallelism, in a fresh JVM — the
+  * scaling campaign's unit of measurement. The full build pipelines
+  * its stages inside Spark jobs, so per-phase cost is measured by
+  * running nested prefixes of the DAG and differencing:
+  *
+  *   scan      — parquet scan of the corpus (content column realized)
+  *   map       — scan + tokenize + doc-local agg + partial blob encode
+  *   postings  — map + encoded-blob shuffle + concat merge
+  *   postwrite — postings + committed parquet snapshot write
+  *   docswrite — docs-table pipeline (scan + sha256 + dl + write)
+  *   full      — complete IndexTables.write build (= ScalingBench one)
+  *
+  * Usage: PhaseSplit <cpus> <numFiles> <phase>
+  * Prints one JSON line {"phase":…,"cpus":…,"sec":…}.
+  */
+object PhaseSplit {
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-phase-$cpus")
+      .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = args(0).toInt
+    val numFiles = args(1).toLong
+    val phase = args(2)
+    val spark = session(cpus)
+    import spark.implicits._
+    val cfg = IndexConfig(shardSizeDocs = 1L << 16,
+      docIdsFromInputOrder = true, storeContent = false)
+
+    val corpusPath = s"/tmp/graft_corpus_$numFiles"
+    if (!Files.exists(Paths.get(corpusPath, "_SUCCESS")))
+      CodeCorpus.generate(spark, numFiles).write.mode("overwrite")
+        .option("compression", "snappy").parquet(corpusPath)
+
+    // untimed warmup (JIT + codegen on the same operators)
+    IndexBuilder.fromCodeDocs(spark,
+      spark.read.parquet(corpusPath).limit(30000).as[graft.model.CodeDoc], cfg)
+      .postings.write.mode("overwrite")
+      .parquet(Files.createTempDirectory("graft_phwarm").toString)
+
+    def fileRows(): Seq[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val s = Files.list(Paths.get(corpusPath))
+      val files = try s.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq finally s.close()
+      files.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val n = try r.getRecordCount finally r.close()
+        (Paths.get(f).getFileName.toString, n)
+      }
+    }
+
+    def withIds = IndexBuilder.tableWithIds(spark, corpusPath, fileRows())
+    def slim = withIds.select("docId", "content", "path", "lang")
+    def partials = IndexBuilder.segmentPartials(
+      spark, slim, Seq("content"), Seq("path", "lang"), cfg.shardSizeDocs)
+
+    val out = Files.createTempDirectory("graft_phase").toString
+    val t0 = System.nanoTime()
+    phase match {
+      case "scan" =>
+        spark.read.parquet(corpusPath)
+          .select(length(col("content"))).foreach(_ => ())
+      case "map" =>
+        partials.foreach(_ => ())
+      case "postings" =>
+        IndexBuilder.mergeSegmentRows(partials, cfg).foreach(_ => ())
+      case "postwrite" =>
+        TableFormat.write(spark,
+          IndexBuilder.mergeSegmentRows(partials, cfg), out, "postings")
+      case "docswrite" =>
+        TableFormat.write(spark, withIds.drop("content"), out, "docs")
+      case "full" =>
+        IndexTables.write(spark,
+          IndexBuilder.fromParquetTable(spark, corpusPath, cfg), out)
+      case other => sys.error(s"unknown phase $other")
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"phase":"$phase","cpus":$cpus,"files":$numFiles,"sec":$sec%.2f}""")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    spark.stop()
+  }
+}

@@ -49,6 +49,39 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(plan.contains("*("), plan.take(1000)) // WholeStageCodegen marker
   }
 
+  test("match_query TVF: SQL rows ≡ Dataset topKWand (or + and modes)") {
+    import graft.build.{IndexBuilder, IndexConfig}
+    import graft.model.CodeDoc
+    val dir = java.nio.file.Files.createTempDirectory("graft_mq").toString
+    val docs = (0 until 200).map(i =>
+      CodeDoc("r", s"f$i", "c", "scala",
+        s"alpha merge id$i spark beta gamma${i % 7} " +
+          (if (i % 9 == 0) "window" else "delta")))
+    val idx = IndexBuilder.fromCodeDocs(spark, docs.toDS(),
+      IndexConfig(shardSizeDocs = 64))
+    graft.table.IndexTables.write(spark, idx, dir)
+
+    def viaSql(q: String): Seq[(Long, Double)] =
+      spark.sql(q).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val loaded = graft.table.IndexTables.load(spark, dir)
+    val s = new graft.query.Searcher(spark, loaded)
+    def viaApi(terms: Seq[String], k: Int, and: Boolean): Seq[(Long, Double)] =
+      s.topKWand(terms, k, graft.query.BM25(), requireAll = and)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    assert(viaSql(s"SELECT * FROM match_query('$dir', 'Spark, merge window!', 10)")
+      === viaApi(Seq("spark", "merge", "window"), 10, and = false))
+    assert(viaSql(s"SELECT * FROM match_query('$dir', 'spark window', 10, 'and')")
+      === viaApi(Seq("spark", "window"), 10, and = true))
+    // composes with ordinary SQL (projection + filter over the TVF)
+    val filtered = spark.sql(
+      s"SELECT docId FROM match_query('$dir', 'spark merge', 20) WHERE docId % 2 = 0")
+      .collect().map(_.getLong(0))
+    assert(filtered.nonEmpty && filtered.forall(_ % 2 == 0))
+    // empty query degrades to an empty relation, not an error
+    assert(viaSql(s"SELECT * FROM match_query('$dir', 'the of and', 5)").isEmpty)
+  }
+
   test("GraftExtensions injects the same function set") {
     // smoke: the plug-in entry point wires without error (a fresh
     // SparkSession with spark.sql.extensions would exercise it fully;
