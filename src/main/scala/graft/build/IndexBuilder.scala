@@ -339,6 +339,69 @@ object IndexBuilder {
       .toDF("field", "term", "shard", "df", "cf", "maxTf", "blob")
   }
 
+  /** Sort-based segment merge — same output as mergeSegmentRows, but
+    * instead of a hash aggregation whose collect_list buffers every
+    * group's partial blobs in the aggregation state, the partials are
+    * shuffled and RADIX-SORTED by (field, term, shard, firstDoc) and
+    * merged in one streaming pass: each blob is touched once on the
+    * reduce side and only ONE group's blobs are in flight at a time.
+    * At scale this also removes the hash-agg spill risk for terms with
+    * many partials (a df=10^9 term has #input-partition partial rows). */
+  def mergeSegmentRowsSorted(
+      partials: DataFrame,
+      cfg: IndexConfig): DataFrame = {
+    val spark = partials.sparkSession
+    import spark.implicits._
+    val nPart = if (cfg.buildPartitions > 0) cfg.buildPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val firstDocUdf = udf((b: Array[Byte]) => PostingsCodec.blobFirstMinDoc(b))
+    val sorted = partials.withColumn("firstDoc", firstDocUdf(col("blob")))
+      .repartition(nPart, col("field"), col("term"), col("shard"))
+      .sortWithinPartitions("field", "term", "shard", "firstDoc")
+      .select("field", "term", "shard", "df", "cf", "maxTf", "blob")
+      .as[(String, String, Long, Long, Long, Int, Array[Byte])]
+    sorted.mapPartitions { it =>
+      new Iterator[(String, String, Long, Long, Long, Int, Array[Byte])] {
+        private var cur: (String, String, Long) = null
+        private var df = 0L
+        private var cf = 0L
+        private var maxTf = 0
+        private val blobs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        private var pending: (String, String, Long, Long, Long, Int, Array[Byte]) = null
+
+        private def emit() = {
+          val out = (cur._1, cur._2, cur._3, df, cf, maxTf,
+            mergeBlobs(blobs.toSeq, df))
+          blobs.clear(); df = 0L; cf = 0L; maxTf = 0
+          out
+        }
+
+        def hasNext: Boolean = pending != null || it.hasNext || blobs.nonEmpty
+
+        def next(): (String, String, Long, Long, Long, Int, Array[Byte]) = {
+          while (true) {
+            val row = if (pending != null) { val r = pending; pending = null; r }
+              else if (it.hasNext) it.next()
+              else return emit()
+            val key = (row._1, row._2, row._3)
+            if (cur == null) cur = key
+            if (key == cur) {
+              df += row._4; cf += row._5
+              if (row._6 > maxTf) maxTf = row._6
+              blobs += row._7
+            } else {
+              pending = row
+              val out = emit()
+              cur = key
+              return out
+            }
+          }
+          throw new IllegalStateException("unreachable")
+        }
+      }
+    }.toDF("field", "term", "shard", "df", "cf", "maxTf", "blob")
+  }
+
   /** Merge docId-ordered partial blobs into one shard blob.
     *
     * Fast path: pure header rewrite + payload byte copy (zero decode).

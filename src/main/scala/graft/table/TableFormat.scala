@@ -90,18 +90,28 @@ object TableFormat {
     Files.deleteIfExists(p)
   }
 
-  /** Row count per data file from parquet footer metadata. */
+  /** Row count per data file from parquet footer metadata — read
+    * CONCURRENTLY: a serial loop is O(#files) driver latency appended
+    * to every snapshot commit. */
   private def footerRowCounts(dir: Path): Seq[FileLineage] = {
     val conf = new org.apache.hadoop.conf.Configuration()
-    listChildren(dir)
+    val files = listChildren(dir)
       .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map { p =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new org.apache.hadoop.fs.Path(p.toString), conf)
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try FileLineage(p.getFileName.toString, reader.getRecordCount)
-        finally reader.close()
-      }.sortBy(_.file)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(files.size, 16)))
+    try {
+      files.map { p =>
+        pool.submit(new java.util.concurrent.Callable[FileLineage] {
+          def call(): FileLineage = {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new org.apache.hadoop.fs.Path(p.toString), conf)
+            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try FileLineage(p.getFileName.toString, reader.getRecordCount)
+            finally reader.close()
+          }
+        })
+      }.map(_.get()).sortBy(_.file)
+    } finally pool.shutdown()
   }
 
   private def commitManifest(root: String, m: Manifest): Unit = {
@@ -117,13 +127,24 @@ object TableFormat {
     Files.move(tmp, manifestPath(root, m.table), StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private def nextSnapshotId(root: String): Long = {
+  /** Snapshot-id allocation: the driver is the table format's single
+    * writer (manifest commits are driver-side atomic renames), but one
+    * driver may write INDEPENDENT tables concurrently (IndexTables
+    * runs its two stage chains on two threads) — so ids are reserved
+    * under a JVM lock, seeded from the on-disk maximum. */
+  private val allocLock = new Object
+  private val reservedIds = scala.collection.mutable.Map.empty[String, Long]
+
+  private def nextSnapshotId(root: String): Long = allocLock.synchronized {
     val existing = listChildren(Paths.get(root))
       .map(_.getFileName.toString)
       .collect { case n if n.contains(".snap-") =>
         n.substring(n.indexOf(".snap-") + 6).toLong
       }
-    if (existing.isEmpty) 1L else existing.max + 1L
+    val onDisk = if (existing.isEmpty) 0L else existing.max
+    val next = math.max(onDisk, reservedIds.getOrElse(root, 0L)) + 1L
+    reservedIds(root) = next
+    next
   }
 
   def read(spark: SparkSession, root: String, table: String): DataFrame =

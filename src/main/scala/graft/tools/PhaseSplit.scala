@@ -91,6 +91,8 @@ object PhaseSplit {
         partials.foreach(_ => ())
       case "postings" =>
         IndexBuilder.mergeSegmentRows(partials, cfg).foreach(_ => ())
+      case "postings_sorted" =>
+        IndexBuilder.mergeSegmentRowsSorted(partials, cfg).foreach(_ => ())
       case "postwrite" =>
         TableFormat.write(spark,
           IndexBuilder.mergeSegmentRows(partials, cfg), out, "postings")

@@ -152,6 +152,22 @@ class Round3Spec extends AnyFunSuite {
     assert(a.map(_._1).toSet === Set(3L, 1003L))
   }
 
+  test("sort-based segment merge ≡ hash-agg segment merge (byte-identical)") {
+    val docs = boilerplateDocs(40).repartition(5) // several partials per term
+    val cfg = IndexConfig(shardSizeDocs = 16)
+    val slim = docs.select(col("doc_id").cast("long").as("docId"),
+      col("text").as("content"))
+    val partials = IndexBuilder.segmentPartials(
+      spark, slim, Seq("content"), Nil, cfg.shardSizeDocs)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5),
+        r.getAs[Array[Byte]](6).toSeq)).sortBy(t => (t._1, t._2, t._3))
+    val viaAgg = canon(IndexBuilder.mergeSegmentRows(partials, cfg))
+    val viaSort = canon(IndexBuilder.mergeSegmentRowsSorted(partials, cfg))
+    assert(viaSort === viaAgg)
+  }
+
   // ---- manifest-driven table source ----
 
   test("fromTableSnapshot (manifest offsets) ≡ fromParquetTable (footer offsets)") {
