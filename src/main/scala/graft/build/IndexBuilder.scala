@@ -308,12 +308,23 @@ object IndexBuilder {
       cfg: IndexConfig): DataFrame = mergeSegmentRows(partials, cfg)
 
   /** Public segment merge — also used by the streaming ingester to
-    * combine per-micro-batch partial postings. Concatenation can
-    * leave fragmented blocks (a df=1000 term across 100 partials →
-    * 100 ten-posting blocks), which wastes metadata and weakens
-    * block-max skipping — under-filled runs are decoded and
+    * combine per-micro-batch partial postings. Default = the
+    * sort-based streaming merge (see mergeSegmentRowsSorted): measured
+    * 2× better thread-scaling on the merge increment than the hash
+    * aggregation (whose collect_list buffers every group's blobs in
+    * aggregation state) and no agg-spill risk for very-high-df terms.
+    * Concatenation can leave fragmented blocks (a df=1000 term across
+    * 100 partials → 100 ten-posting blocks), which wastes metadata and
+    * weakens block-max skipping — under-filled runs are decoded and
     * re-encoded into full blocks. */
   def mergeSegmentRows(
+      partials: DataFrame,
+      cfg: IndexConfig): DataFrame = mergeSegmentRowsSorted(partials, cfg)
+
+  /** Hash-aggregation merge (collect_list + concat) — retained for
+    * cross-validation against the sort-based path (byte-identity
+    * asserted in Round3Spec). */
+  def mergeSegmentRowsAgg(
       partials: DataFrame,
       cfg: IndexConfig): DataFrame = {
     val spark = partials.sparkSession

@@ -29,7 +29,8 @@ object PhaseSplit {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-phase-$cpus")
-      .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUF_PARTS", (cpus * 4).toString))
       .config("spark.local.dir",
         sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.sql.files.maxPartitionBytes", "8m")
@@ -89,10 +90,10 @@ object PhaseSplit {
           .select(length(col("content"))).foreach(_ => ())
       case "map" =>
         partials.foreach(_ => ())
-      case "postings" =>
+      case "postings" => // default merge (sort-based)
         IndexBuilder.mergeSegmentRows(partials, cfg).foreach(_ => ())
-      case "postings_sorted" =>
-        IndexBuilder.mergeSegmentRowsSorted(partials, cfg).foreach(_ => ())
+      case "postings_agg" => // hash-agg merge, kept for comparison
+        IndexBuilder.mergeSegmentRowsAgg(partials, cfg).foreach(_ => ())
       case "postwrite" =>
         TableFormat.write(spark,
           IndexBuilder.mergeSegmentRows(partials, cfg), out, "postings")
