@@ -39,6 +39,7 @@ object SparkEntry {
     "sort_topk" -> ((s, d) => E.sortTopK(s, d)),
     "fetch_docs" -> ((s, d) => E.fetchDocs(s, d)),
     "sha256_rows" -> ((s, d) => E.shaRows(s, d)),
+    "match_sql" -> ((s, d) => E.matchSql(s, d)),
     // ---- training-data pipeline ----
     "dedup_exact" -> ((s, d) => T.dedupExact(T.documents(s, d))),
     "dedup_jaccard" -> ((s, d) => T.ngramJaccardPairs(T.documents(s, d), 0.8)),
@@ -46,6 +47,10 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => T.simhash(T.documents(s, d))),
     "dedup_simhash_pairs" -> ((s, d) => T.simhashPairs(T.documents(s, d), 8)),
     "dedup_groups" -> ((s, d) => T.dedupGroups(T.documents(s, d), 8)),
+    "dedup_groups_jaccard" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      T.dedupGroupsFromPairs(docs, T.ngramJaccardPairs(docs, 0.8))
+    }),
     "embed_knn" -> ((s, d) => T.cosineTopK(T.embeddings(s, d), 0L, 10)),
     "embed_lsh_buckets" -> ((s, d) => T.lshBuckets(T.embeddings(s, d))),
     "embed_dup_pairs" -> ((s, d) => T.embedCosinePairs(T.embeddings(s, d), 0.4)),

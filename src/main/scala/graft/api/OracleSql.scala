@@ -89,6 +89,9 @@ WHERE term IN ('spark', 'merge', 'window', 'dup') GROUP BY 1"""),
     "bm25_and" -> bm25TopK(Seq("spark", "merge"), 10, requireAll = true),
     // WAND must be rank-identical to the exhaustive plan → same oracle
     "bm25_wand" -> bm25TopK(Seq("spark", "merge", "window"), 10, requireAll = false),
+    // the SQL TVF surface substitutes the SAME analyzed WAND plan →
+    // rank-identical to the exhaustive oracle by construction
+    "match_sql" -> bm25TopK(Seq("spark", "merge", "window"), 10, requireAll = false),
 
     "tfidf_legacy" -> (TOK + """
 , tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM emitted WHERE term = 'dup' GROUP BY 1),
@@ -227,6 +230,29 @@ prs AS (
   SELECT x.doc_id AS a, y.doc_id AS b
   FROM sv x JOIN sv y ON x.doc_id < y.doc_id
   WHERE bit_count(xor(x.simhash, y.simhash)) <= 8),
+edges AS (SELECT a, b FROM prs UNION ALL SELECT b AS a, a AS b FROM prs),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
+SELECT src AS doc_id, min(dst)::BIGINT AS comp FROM reach GROUP BY 1"""),
+
+    // components over the MATERIALIZED jaccard pair table (the
+    // dedupGroupsFromPairs production shape: pair source ≠ CC loop)
+    "dedup_groups_jaccard" -> (TOK.replaceFirst("\\bWITH\\b", "WITH RECURSIVE") + """
+, sh AS (
+  SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS sh
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS i
+  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2),
+prs AS (
+  SELECT a, b FROM inter
+  JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+  WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= 0.8),
 edges AS (SELECT a, b FROM prs UNION ALL SELECT b AS a, a AS b FROM prs),
 reach(src, dst) AS (
   SELECT doc_id, doc_id FROM documents
