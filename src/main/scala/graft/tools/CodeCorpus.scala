@@ -69,9 +69,18 @@ object CodeCorpus {
     CodeDoc(repo, s"src/F$i.${Exts(lang)}", commit, lang, sb.toString)
   }
 
+  /** `parts` is EXPLICIT and fixed (not the session default
+    * parallelism): the materialized table's file layout must be
+    * identical no matter which session generated it — a corpus
+    * written by a local[2] run would otherwise have 2 parquet files
+    * (≈2 row groups), capping every later build's scan+tokenize
+    * stage at ~2-way parallelism and silently wrecking the
+    * two-level scaling comparison. range slices keep ids contiguous
+    * per file, so docIds from file-offset metadata are unchanged. */
   def generate(spark: SparkSession, numFiles: Long,
-      numRepos: Int = 100, seed: Long = 42L): Dataset[CodeDoc] = {
+      numRepos: Int = 100, seed: Long = 42L,
+      parts: Int = 128): Dataset[CodeDoc] = {
     import spark.implicits._
-    spark.range(numFiles).map(i => doc(seed, i, numRepos))
+    spark.range(0L, numFiles, 1L, parts).map(i => doc(seed, i, numRepos))
   }
 }
