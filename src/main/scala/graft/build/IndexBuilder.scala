@@ -119,6 +119,78 @@ object IndexBuilder {
     /** Backing array — valid up to `length`. */
     def raw: Array[Int] = arr
     def toArray: Array[Int] = java.util.Arrays.copyOf(arr, len)
+    /** Logical reset — capacity retained for reuse. */
+    def clear(): Unit = len = 0
+  }
+
+  /** Reusable per-task scratch for one document's (term → positions)
+    * aggregation: open-addressing table + pooled IntBufs, reset per
+    * doc with capacity retained. The naive shape (a fresh
+    * LinkedHashMap + a fresh IntBuf per distinct term per doc) costs
+    * ~40-plus short-lived objects per document — tens of millions per
+    * million docs — and that young-gen churn is what collapses
+    * tokenize scaling as concurrent task count grows (32 allocating
+    * threads share one young gen; measured map-phase/core throughput
+    * fell 2.4× beyond the host's own 8→32 ceiling before this).
+    * Iteration order (first occurrence in doc) matches the old
+    * LinkedHashMap exactly, so partial emission order — and therefore
+    * blob byte-identity — is unchanged. */
+  private[graft] final class DocTermScratch {
+    private var cap = 512 // power of two, ≥ 2× typical distinct terms
+    private var mask = cap - 1
+    private var keys = new Array[String](cap)
+    private var idxs = new Array[Int](cap)
+    private var terms = new Array[String](128)
+    private var pool = new Array[IntBuf](128)
+    private var n = 0
+
+    def reset(): Unit = {
+      java.util.Arrays.fill(keys.asInstanceOf[Array[AnyRef]], null)
+      n = 0
+    }
+
+    def add(term: String, pos: Int): Unit = {
+      var s = term.hashCode & mask
+      while (true) {
+        val k = keys(s)
+        if (k == null) {
+          if (n == terms.length) {
+            terms = java.util.Arrays.copyOf(terms, n * 2)
+            pool = java.util.Arrays.copyOf(pool, n * 2)
+          }
+          if (pool(n) == null) pool(n) = new IntBuf
+          pool(n).clear()
+          pool(n).add(pos)
+          terms(n) = term
+          keys(s) = term
+          idxs(s) = n
+          n += 1
+          if (n * 4 > cap * 3) growTable()
+          return
+        } else if ((k eq term) || k.equals(term)) {
+          pool(idxs(s)).add(pos)
+          return
+        } else s = (s + 1) & mask
+      }
+    }
+
+    private def growTable(): Unit = {
+      cap *= 2; mask = cap - 1
+      keys = new Array[String](cap)
+      idxs = new Array[Int](cap)
+      var i = 0
+      while (i < n) {
+        var s = terms(i).hashCode & mask
+        while (keys(s) != null) s = (s + 1) & mask
+        keys(s) = terms(i); idxs(s) = i
+        i += 1
+      }
+    }
+
+    /** Distinct terms in this doc, first-seen order via term(i)/buf(i). */
+    def size: Int = n
+    def term(i: Int): String = terms(i)
+    def buf(i: Int): IntBuf = pool(i)
   }
 
   private[graft] final class LongBuf {
@@ -208,26 +280,46 @@ object IndexBuilder {
         .empty[String, scala.collection.mutable.LinkedHashMap[String, PartialAcc]]
       def fieldAcc(f: String) = fields.getOrElseUpdate(f,
         scala.collection.mutable.LinkedHashMap.empty[String, PartialAcc])
+      // reusable doc-local scratch (see DocTermScratch) + field
+      // ordinals resolved ONCE (getAs(name) does a schema lookup per
+      // call — per-row × per-field that is millions of needless
+      // string-hash probes)
+      val scratch = new DocTermScratch
+      val scratchAdd: (String, Int) => Unit = scratch.add
+      var docIdOrd = -1
+      var tokOrds: Array[Int] = null
+      var untokOrds: Array[Int] = null
       rows.foreach { row =>
-        val docId = row.getAs[Long]("docId")
-        tokenized.foreach { f =>
-          val fa = fieldAcc(f)
+        if (tokOrds == null) {
+          docIdOrd = row.fieldIndex("docId")
+          tokOrds = tokenized.map(row.fieldIndex).toArray
+          untokOrds = untokenized.map(row.fieldIndex).toArray
+        }
+        val docId = row.getLong(docIdOrd)
+        var fi = 0
+        while (fi < tokOrds.length) {
+          val fa = fieldAcc(tokenized(fi))
           // doc-local (term → positions) aggregation, then one append
           // per distinct term into the partition-level columnar run
-          val m = scala.collection.mutable.LinkedHashMap.empty[String, IntBuf]
-          Analyzer.foreachEmitted(row.getAs[String](f)) { (term, pos) =>
-            m.getOrElseUpdate(term, new IntBuf).add(pos)
+          scratch.reset()
+          Analyzer.foreachEmitted(row.getString(tokOrds(fi)))(scratchAdd)
+          var i = 0
+          val nTerms = scratch.size
+          while (i < nTerms) {
+            fa.getOrElseUpdate(scratch.term(i), new PartialAcc)
+              .add(docId, scratch.buf(i))
+            i += 1
           }
-          m.foreach { case (t, ps) =>
-            fa.getOrElseUpdate(t, new PartialAcc).add(docId, ps)
-          }
+          fi += 1
         }
-        untokenized.foreach { f =>
-          val v = row.getAs[String](f)
+        fi = 0
+        while (fi < untokOrds.length) {
+          val v = row.getString(untokOrds(fi))
           if (v != null && v.nonEmpty)
-            fieldAcc(f).getOrElseUpdate(
+            fieldAcc(untokenized(fi)).getOrElseUpdate(
               v.toLowerCase(java.util.Locale.ROOT), new PartialAcc)
               .addSentinel(docId)
+          fi += 1
         }
       }
       fields.iterator.flatMap { case (f, terms) =>

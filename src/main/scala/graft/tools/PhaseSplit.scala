@@ -33,7 +33,8 @@ object PhaseSplit {
         sys.env.getOrElse("GRAFT_SHUF_PARTS", (cpus * 4).toString))
       .config("spark.local.dir",
         sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
-      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("GRAFT_MAXPART", "8m"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
@@ -82,31 +83,37 @@ object PhaseSplit {
     def partials = IndexBuilder.segmentPartials(
       spark, slim, Seq("content"), Seq("path", "lang"), cfg.shardSizeDocs)
 
-    val out = Files.createTempDirectory("graft_phase").toString
-    val t0 = System.nanoTime()
-    phase match {
-      case "scan" =>
-        spark.read.parquet(corpusPath)
-          .select(length(col("content"))).foreach(_ => ())
-      case "map" =>
-        partials.foreach(_ => ())
-      case "postings" => // default merge (sort-based)
-        IndexBuilder.mergeSegmentRows(partials, cfg).foreach(_ => ())
-      case "postings_agg" => // hash-agg merge, kept for comparison
-        IndexBuilder.mergeSegmentRowsAgg(partials, cfg).foreach(_ => ())
-      case "postwrite" =>
-        TableFormat.write(spark,
-          IndexBuilder.mergeSegmentRows(partials, cfg), out, "postings")
-      case "docswrite" =>
-        TableFormat.write(spark, withIds.drop("content"), out, "docs")
-      case "full" =>
-        IndexTables.write(spark,
-          IndexBuilder.fromParquetTable(spark, corpusPath, cfg), out)
-      case other => sys.error(s"unknown phase $other")
+    // GRAFT_PHASE_REPS > 1 repeats the timed phase inside ONE JVM
+    // (write phases get a fresh output dir per rep): separates host
+    // noise waves (visible as inter-rep spread) from JVM cold-start.
+    val reps = sys.env.getOrElse("GRAFT_PHASE_REPS", "1").toInt
+    for (_ <- 1 to reps) {
+      val out = Files.createTempDirectory("graft_phase").toString
+      val t0 = System.nanoTime()
+      phase match {
+        case "scan" =>
+          spark.read.parquet(corpusPath)
+            .select(length(col("content"))).foreach(_ => ())
+        case "map" =>
+          partials.foreach(_ => ())
+        case "postings" => // default merge (sort-based)
+          IndexBuilder.mergeSegmentRows(partials, cfg).foreach(_ => ())
+        case "postings_agg" => // hash-agg merge, kept for comparison
+          IndexBuilder.mergeSegmentRowsAgg(partials, cfg).foreach(_ => ())
+        case "postwrite" =>
+          TableFormat.write(spark,
+            IndexBuilder.mergeSegmentRows(partials, cfg), out, "postings")
+        case "docswrite" =>
+          TableFormat.write(spark, withIds.drop("content"), out, "docs")
+        case "full" =>
+          IndexTables.write(spark,
+            IndexBuilder.fromParquetTable(spark, corpusPath, cfg), out)
+        case other => sys.error(s"unknown phase $other")
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"phase":"$phase","cpus":$cpus,"files":$numFiles,"sec":$sec%.2f}""")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     }
-    val sec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"phase":"$phase","cpus":$cpus,"files":$numFiles,"sec":$sec%.2f}""")
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     spark.stop()
   }
 }

@@ -25,10 +25,33 @@ import graft.table.{IndexTables, TableFormat}
   */
 object ScalingBench {
 
+  /** Master for `cpus` total cores. Default local[cpus]; with
+    * GRAFT_EXECUTORS=k set, local-cluster[k, cpus/k, mem] — REAL
+    * separate executor JVMs (own heap, own GC), the faithful sandbox
+    * instantiation of the north rule's "N vs 4N executors": adding
+    * executors adds heaps, exactly like adding cluster nodes, instead
+    * of multiplying allocating threads inside one shared heap. */
+  private def master(cpus: Int): String =
+    sys.env.get("GRAFT_EXECUTORS") match {
+      case Some(k) =>
+        val execs = k.toInt
+        val memMb = sys.env.getOrElse("GRAFT_EXEC_MEM_MB", "6144").toInt
+        s"local-cluster[$execs,${math.max(1, cpus / execs)},$memMb]"
+      case None => s"local[$cpus]"
+    }
+
   private def session(cpus: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val b = SparkSession.builder()
+      .master(master(cpus))
       .appName(s"graft-scaling-$cpus")
+    // local-cluster executors are separate JVMs: ship our classes
+    if (sys.env.contains("GRAFT_EXECUTORS")) {
+      b.config("spark.executor.extraClassPath",
+        "/root/repo/target/scala-2.13/classes")
+        .config("spark.executor.memory",
+          sys.env.getOrElse("GRAFT_EXEC_MEM_MB", "6144") + "m")
+    }
+    val s = b
       // 4× cores: finer tasks smooth skew/stragglers; AQE coalesces
       .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
       // shuffle+spill on tmpfs: the VM disk (~460 MB/s, shared) would
@@ -38,7 +61,8 @@ object ScalingBench {
       // split table scans finer than the 128MB default: a ~1GB corpus
       // must still fan out across all cores (at cluster scale the
       // default is right; local benches are cores-rich/data-small)
-      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("GRAFT_MAXPART", "8m"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
