@@ -125,6 +125,19 @@ object Analyzer extends Serializable {
       if (!isStopBuf(buf, len)) f(new String(buf, 0, len), pos)
     }
 
+  /** Buffer-level emitted-token scan: hands the reused (buf, len, pos)
+    * straight to the caller with NO String allocation at all — the
+    * segment-partials path probes its doc-term scratch by char content
+    * and materializes a String only on a term's FIRST occurrence in a
+    * doc (token occurrences outnumber per-doc distinct terms ~2.5×,
+    * and those Strings were the build's largest remaining allocation
+    * source). The buffer is only valid during the callback. */
+  @inline private[graft] def foreachEmittedBuf(text: String)(
+      f: (Array[Char], Int, Int) => Unit): Unit =
+    scanBuf(text) { (buf, len, pos) =>
+      if (!isStopBuf(buf, len)) f(buf, len, pos)
+    }
+
   /** Raw tokens (lowercased, split), stop words INCLUDED — position
     * source of truth. */
   def rawTokens(text: String): Iterator[String] = {

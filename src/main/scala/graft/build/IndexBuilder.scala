@@ -174,6 +174,37 @@ object IndexBuilder {
       }
     }
 
+    /** Buffer-keyed add: probes by char content (hash identical to
+      * String.hashCode) and materializes the term String only on its
+      * FIRST occurrence in the doc — repeat occurrences allocate
+      * nothing. `buf` is the analyzer's reused scan buffer, valid only
+      * for this call. */
+    def addBuf(buf: Array[Char], len: Int, pos: Int): Unit = {
+      var h = 0
+      var i = 0
+      while (i < len) { h = h * 31 + buf(i); i += 1 }
+      var s = h & mask
+      while (true) {
+        val k = keys(s)
+        if (k == null) {
+          add(new String(buf, 0, len), pos)
+          return
+        } else if (k.length == len && regionEq(k, buf, len)) {
+          pool(idxs(s)).add(pos)
+          return
+        } else s = (s + 1) & mask
+      }
+    }
+
+    private def regionEq(k: String, buf: Array[Char], len: Int): Boolean = {
+      var i = 0
+      while (i < len) {
+        if (k.charAt(i) != buf(i)) return false
+        i += 1
+      }
+      true
+    }
+
     private def growTable(): Unit = {
       cap *= 2; mask = cap - 1
       keys = new Array[String](cap)
@@ -285,7 +316,7 @@ object IndexBuilder {
       // call — per-row × per-field that is millions of needless
       // string-hash probes)
       val scratch = new DocTermScratch
-      val scratchAdd: (String, Int) => Unit = scratch.add
+      val scratchAdd: (Array[Char], Int, Int) => Unit = scratch.addBuf
       var docIdOrd = -1
       var tokOrds: Array[Int] = null
       var untokOrds: Array[Int] = null
@@ -302,7 +333,7 @@ object IndexBuilder {
           // doc-local (term → positions) aggregation, then one append
           // per distinct term into the partition-level columnar run
           scratch.reset()
-          Analyzer.foreachEmitted(row.getString(tokOrds(fi)))(scratchAdd)
+          Analyzer.foreachEmittedBuf(row.getString(tokOrds(fi)))(scratchAdd)
           var i = 0
           val nTerms = scratch.size
           while (i < nTerms) {
