@@ -245,4 +245,31 @@ class Round3Spec extends AnyFunSuite {
       assert(msgs(ex).exists(_.contains("shardSizeDocs")), msgs(ex).mkString(" | "))
     } finally q.stop()
   }
+
+  test("DocTermScratch ≡ LinkedHashMap reference under collisions, growth and reuse") {
+    val rnd = new scala.util.Random(1234)
+    // vocabulary engineered to collide: identical String.hashCode pairs
+    // ("Aa"/"BB" building blocks) plus random idN terms; enough distinct
+    // terms per doc (up to ~1500) to force both table and pool growth
+    val collide = Seq("Aa", "BB", "AaAa", "BBAa", "AaBB", "BBBB")
+    val vocab = (collide ++ (0 until 3000).map(i => s"id$i")).toArray
+    val scratch = new IndexBuilder.DocTermScratch
+    for (doc <- 1 to 40) {
+      val nTok = 1 + rnd.nextInt(3000)
+      val toks = (0 until nTok).map(_ => vocab(rnd.nextInt(vocab.length)))
+      val ref = scala.collection.mutable.LinkedHashMap.empty[String, List[Int]]
+      scratch.reset()
+      toks.zipWithIndex.foreach { case (t, i) =>
+        val pos = i + 1
+        ref.updateWith(t)(o => Some(o.getOrElse(Nil) :+ pos))
+        // exercise the buffer-keyed path exactly as segmentPartials does
+        val buf = t.toCharArray
+        scratch.addBuf(buf, buf.length, pos)
+      }
+      val got = (0 until scratch.size).map(i =>
+        scratch.term(i) -> scratch.buf(i).toArray.toList)
+      assert(got == ref.toSeq,
+        s"doc $doc: scratch diverged from reference (order or content)")
+    }
+  }
 }
