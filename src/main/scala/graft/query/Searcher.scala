@@ -45,25 +45,69 @@ final class Searcher(
 
   private def stats = index.stats
 
-  /** Slim (docId, dl) lookup for scoring joins, semi-join pruned to
-    * the doc-range shards that actually hold postings for the query's
-    * terms — for selective queries this shrinks the dl side from N to
-    * |touched shards|·shardSize rows in BOTH regimes (smaller
-    * broadcast below the gate; less shuffled data above it). The
-    * broadcast gate is sized on the PRUNED estimate — |touched
-    * shards|·shardSize·16 B, counted by a term-pruned metadata scan —
-    * not the corpus-wide numDocs, so a selective query on an
-    * arbitrarily large corpus still broadcasts while an every-shard
-    * query near the gate never ships a ~200 MB copy to the driver. */
-  private def dlLookup(terms: Seq[String]): org.apache.spark.sql.DataFrame = {
-    val touched = postingRows(terms).select("shard").distinct()
-    val prunedBytes = touched.count() * index.config.shardSizeDocs * 16L
-    val slim = index.docs
+  /** Per-query posting METADATA — collected ONCE per query (term dfs +
+    * the touched doc-range shard set together) instead of one job for
+    * docFreqs plus another for touched-shard discovery. The collect
+    * reads (term, shard, df) only — parquet column pruning keeps the
+    * blob pages untouched — and its size is the query's (term, shard)
+    * row count (≤ Σ_term ceil(N/shardSize)), a few MB even for a
+    * corpus-wide term at 10^12 docs with 2^20-doc shards. */
+  private final class QueryMeta(rows: Array[(String, Long, Long)]) {
+    /** Global df per term (Σ over shards == termStats df). */
+    val dfs: Map[String, Long] =
+      rows.groupBy(_._1).map { case (t, rs) => t -> rs.iterator.map(_._3).sum }
+    /** Shards holding postings for ANY query term, sorted. */
+    val shards: Array[Long] = rows.map(_._2).distinct.sorted
+    /** Shards holding postings for EVERY given term (conjunctive /
+      * phrase pruning: a shard missing one term can't produce a hit). */
+    def shardsWithAll(terms: Seq[String]): Array[Long] = {
+      val need = terms.toSet
+      rows.groupBy(_._2).collect {
+        case (s, rs) if need.subsetOf(rs.iterator.map(_._1).toSet) => s
+      }.toArray.sorted
+    }
+  }
+
+  private def collectMeta(terms: Seq[String]): QueryMeta =
+    new QueryMeta(index.postings
+      .where(col("field") === field && col("term").isin(terms: _*))
+      .select("term", "shard", "df")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+
+  /** Restrict a DataFrame with a `shard` column to the given shard set
+    * WITHOUT launching a job: a literal In-filter for small sets (stays
+    * inside codegen), a broadcast semi-join against a local relation
+    * above that (a 10^5-entry In-list would blow up the generated
+    * code — the semi-join build side ships once per executor). */
+  private def pruneShards(df: DataFrame, shards: Array[Long]): DataFrame =
+    if (shards.length <= 1024)
+      df.where(col("shard").isin(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(shards.map(Long.box)): _*))
+    else {
+      val local = spark.createDataset(shards.toSeq)(org.apache.spark.sql.Encoders.scalaLong)
+        .toDF("shard")
+      df.join(broadcast(local), Seq("shard"), "left_semi")
+    }
+
+  private def dlWithShard: DataFrame =
+    index.docs
       .select(col("docId"), col("dl").cast("double").as("dl"))
       .withColumn("shard",
         (col("docId") / lit(index.config.shardSizeDocs)).cast("long"))
-      .join(broadcast(touched), Seq("shard"), "left_semi")
-      .select("docId", "dl")
+
+  /** Slim (docId, dl) lookup for scoring joins, pruned to the doc-range
+    * shards that actually hold postings for the query's terms — for
+    * selective queries this shrinks the dl side from N to
+    * |touched shards|·shardSize rows in BOTH regimes (smaller
+    * broadcast below the gate; less shuffled data above it). The
+    * broadcast gate is sized on the PRUNED estimate — |touched
+    * shards|·shardSize·16 B from the already-collected metadata, NO
+    * extra job — not the corpus-wide numDocs, so a selective query on
+    * an arbitrarily large corpus still broadcasts while an every-shard
+    * query near the gate never ships a ~200 MB copy to the driver. */
+  private def dlLookup(meta: QueryMeta): DataFrame = {
+    val prunedBytes = meta.shards.length.toLong * index.config.shardSizeDocs * 16L
+    val slim = pruneShards(dlWithShard, meta.shards).select("docId", "dl")
     if (prunedBytes <= dlBroadcastBytes) broadcast(slim) else slim
   }
 
@@ -108,12 +152,13 @@ final class Searcher(
       scorer: Scorer = BM25(),
       requireAll: Boolean = false): DataFrame = {
     val qTerms = terms.distinct.sorted
-    val dfs = docFreqs(qTerms)
+    val meta = collectMeta(qTerms)
+    val dfs = meta.dfs
     val queryDfs = qTerms.map(t => dfs.getOrElse(t, 0L).toDouble)
     val dfLookup = typedlit(dfs.map { case (t, d) => t -> d.toDouble })
 
     val m = matches(qTerms).toDF()
-      .join(dlLookup(qTerms), Seq("docId"))
+      .join(dlLookup(meta), Seq("docId"))
       .withColumn("df", element_at(dfLookup, col("term")))
       .withColumn("tscore",
         scorer.contributionCol(col("tf").cast("double"), col("df"), col("dl"), stats))
@@ -161,23 +206,23 @@ final class Searcher(
       scorer: Scorer = BM25(),
       requireAll: Boolean = false): DataFrame = {
     val qTerms = terms.distinct.sorted
-    val dfs = docFreqs(qTerms)
+    val meta = collectMeta(qTerms)
+    val dfs = meta.dfs
     val queryDfs = qTerms.map(t => dfs.getOrElse(t, 0L).toDouble)
     val nQueryTerms = qTerms.size
     val st = stats
-    val shardSize = index.config.shardSizeDocs
     val scorerB = scorer
 
-    val prows = postingRows(qTerms).groupByKey(_.shard)
     // Only shards that actually hold postings for the query's terms can
-    // produce hits — semi-join the doc lengths down to those shards
-    // (broadcast: |touched shards| ≤ Σ_term #shards, tiny) instead of
-    // shuffling every (docId, dl) row in the corpus into the cogroup.
-    val touchedShards = broadcast(postingRows(qTerms).select("shard").distinct())
-    val dls = index.docs
-      .select(col("docId"), col("dl").cast("double").as("dl"))
-      .withColumn("shard", (col("docId") / lit(shardSize)).cast("long"))
-      .join(touchedShards, Seq("shard"), "left_semi")
+    // produce hits — and in AND mode only shards holding EVERY term
+    // (one missing term posting row forecloses the whole shard). The
+    // shard set comes from the single metadata collect: no discovery
+    // job, and the postings scan itself is pruned in AND mode too.
+    val touched =
+      if (requireAll) meta.shardsWithAll(qTerms) else meta.shards
+    val prows = pruneShards(postingRows(qTerms).toDF(), touched)
+      .as[PostingRow].groupByKey(_.shard)
+    val dls = pruneShards(dlWithShard, touched)
       .select(col("docId"), col("dl"), col("shard"))
       .as[(Long, Double, Long)]
       .groupByKey(_._3)
@@ -204,10 +249,71 @@ final class Searcher(
       .limit(k)
   }
 
-  /** Phrase top-k (consecutive positions), bigram-chained for n terms:
-    * doc matches where term_i occurs at p+i. Phrase tf = number of
-    * start positions; scored like a single pseudo-term. */
+  /** Phrase top-k (consecutive positions): doc matches where the term
+    * of slot i occurs at start+i for every i. Phrase tf = number of
+    * start positions; scored like a single pseudo-term (df = number of
+    * docs containing the phrase — ranking is df-independent because
+    * idf multiplies every doc's score equally, so the per-shard
+    * matching can run BEFORE df is known).
+    *
+    * PRUNED path (replaces the corpus-wide positional explode-join):
+    * per doc-range shard, docId leapfrog intersection of the distinct
+    * terms with block skipping on header metadata, positions decoded
+    * LAZILY only for docs where all terms aligned
+    * (Wand.phraseMatches / TermIterator.curPositions) — a phrase
+    * containing one common term shuffles only the matched docs, not
+    * O(cf) position rows. Shards missing any query term are pruned
+    * from BOTH cogroup sides via the single metadata collect.
+    * Rank/hash-identical to phraseTopKExhaustive (asserted in tests). */
   def phraseTopK(terms: Seq[String], k: Int, scorer: Scorer = BM25()): DataFrame = {
+    require(terms.nonEmpty)
+    val slots = terms
+    val qTerms = terms.distinct.sorted
+    val meta = collectMeta(qTerms)
+    val shards =
+      if (qTerms.exists(t => !meta.dfs.contains(t))) Array.empty[Long]
+      else meta.shardsWithAll(qTerms)
+    if (shards.isEmpty)
+      return Seq.empty[(Long, Double)].toDF("docId", "score")
+    val dfs = meta.dfs
+    val st = stats
+    val scorerB = scorer
+    val prows = pruneShards(postingRows(qTerms).toDF(), shards)
+      .as[PostingRow].groupByKey(_.shard)
+    val dls = pruneShards(dlWithShard, shards)
+      .select(col("docId"), col("dl"), col("shard"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._3)
+    val matched = prows.cogroup(dls) {
+      (_: Long, ps: Iterator[PostingRow], ds: Iterator[(Long, Double, Long)]) =>
+        val rows = ps.toArray
+        val iterOf = rows.map { r =>
+          r.term -> new TermIterator(r.term, dfs(r.term).toDouble, 0.0,
+            scorerB, st, new PostingsCodec.BlobView(r.blob))
+        }.toMap
+        if (iterOf.size < slots.distinct.length) Iterator.empty
+        else {
+          val dlMap = new scala.collection.mutable.LongMap[Double]()
+          ds.foreach { case (d, dl, _) => dlMap.update(d, dl) }
+          Wand.phraseMatches(slots, iterOf)
+            .map { case (d, tf) => (d, tf, dlMap.getOrElse(d, 0.0)) }
+        }
+    }.toDF("docId", "tf", "dl")
+      // eager materialization: the cogroup runs ONCE for both the df
+      // count and the scoring plan; not pinned in the CacheManager
+      .localCheckpoint()
+    val phraseDf = matched.count().toDouble // docs containing the phrase
+    matched
+      .withColumn("score", scorerB.contributionCol(
+        col("tf").cast("double"), lit(phraseDf), col("dl"), st))
+      .orderBy(desc("score"), asc("docId")).limit(k)
+      .select("docId", "score")
+  }
+
+  /** Exhaustive phrase path (corpus-wide positional explode + equi-join
+    * on (docId, start)) — retained as the cross-validation oracle for
+    * the pruned path; do not use at scale. */
+  def phraseTopKExhaustive(terms: Seq[String], k: Int, scorer: Scorer = BM25()): DataFrame = {
     require(terms.nonEmpty)
     val m = matchesWithPositions(terms.distinct).toDF()
     // explode positions per term
@@ -226,7 +332,7 @@ final class Searcher(
       .localCheckpoint()
     val df = phraseTf.count().toDouble // docs containing the phrase
     val withDl = phraseTf
-      .join(dlLookup(terms.distinct), Seq("docId"))
+      .join(dlLookup(collectMeta(terms.distinct)), Seq("docId"))
       .withColumn("score", scorer.contributionCol(
         col("tf").cast("double"), lit(df), col("dl"), stats))
     withDl.orderBy(desc("score"), asc("docId")).limit(k)

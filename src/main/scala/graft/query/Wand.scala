@@ -33,12 +33,34 @@ final class TermIterator(
   /** Blocks whose payload was actually decoded — the skip-efficiency
     * observable (tests assert leapfrog decodes fewer than OR-pivot). */
   var decodedBlocks: Int = if (view.nBlocks > 0) 1 else 0
+  /** Blocks whose POSITIONS were decoded (lazy — only on curPositions).
+    * The pruned-phrase observable: docs pruned by docId leapfrog never
+    * cost a positions decode. */
+  var decodedPosBlocks: Int = 0
   private var decoded: Array[(Long, Int)] =
     if (view.nBlocks > 0) view.decodeDocTf(0) else Array.empty
+  private var posBlockIdx = -1
+  private var posDecoded: Array[graft.model.Posting] = null
 
   def exhausted: Boolean = bi >= view.nBlocks
   def curDoc: Long = if (exhausted) Long.MaxValue else decoded(di)._1
   def curTf: Int = decoded(di)._2
+
+  /** Positions of the current doc — LAZY: the positions payload of the
+    * current block is decoded only when a caller asks (the phrase path
+    * asks only for docs that survived the docId leapfrog intersection)
+    * and cached per block, so verifying m candidate docs in one block
+    * costs ONE positions decode, and skipped blocks cost zero
+    * (reference positional iteration: HBaseTermPositions.java:126-136,
+    * which instead paid one RPC per (term, doc)). */
+  def curPositions: Array[Int] = {
+    if (posBlockIdx != bi) {
+      posDecoded = view.decodePostings(bi)
+      posBlockIdx = bi
+      decodedPosBlocks += 1
+    }
+    posDecoded(di).positions
+  }
 
   /** Upper bound within the current block (block-max). */
   def blockUb: Double =
@@ -268,5 +290,81 @@ object Wand {
       }
     }
     drain()
+  }
+
+  /** Pruned phrase matching over one shard: docId LEAPFROG intersection
+    * of the distinct query terms (block-skip on maxDoc metadata, like
+    * the conjunctive WAND mode), then positional verification ONLY for
+    * docs where every term aligned — positions decode lazily per block
+    * (TermIterator.curPositions), so a common term co-occurring with a
+    * rare one pays docId-level block headers, not a corpus-wide
+    * positional explode.
+    *
+    * @param slots the phrase's term sequence IN ORDER (duplicates
+    *   allowed: "a b a"); slot j requires its term at position start+j.
+    * @param iterOf distinct term → its iterator (all terms must be
+    *   present — callers prune shards missing any term).
+    * @return (docId, phrase tf = number of start positions), docId
+    *   ascending. Identical contract to the exhaustive explode-join
+    *   (positions strictly increasing per doc, so start counts match).
+    */
+  def phraseMatches(
+      slots: Seq[String],
+      iterOf: Map[String, TermIterator]): Iterator[(Long, Int)] = {
+    val its: Array[TermIterator] = slots.distinct.map(iterOf).toArray
+    val slotIters: Array[TermIterator] = slots.map(iterOf).toArray
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    var done = its.isEmpty
+    while (!done) {
+      var maxDoc = Long.MinValue
+      var minDoc = Long.MaxValue
+      var i = 0
+      while (i < its.length) {
+        val d = its(i).curDoc
+        if (d > maxDoc) maxDoc = d
+        if (d < minDoc) minDoc = d
+        i += 1
+      }
+      if (maxDoc == Long.MaxValue) done = true // some term exhausted
+      else if (minDoc == maxDoc) {
+        // all terms contain maxDoc — verify consecutive positions:
+        // starts = ∩_j (positions(slot_j) − j), arrays sorted strictly
+        // increasing, intersected pairwise
+        var starts: Array[Int] = null
+        var nStarts = -1
+        var j = 0
+        while (j < slotIters.length && nStarts != 0) {
+          val pj = slotIters(j).curPositions
+          if (starts == null) {
+            starts = new Array[Int](pj.length)
+            var p = 0
+            while (p < pj.length) { starts(p) = pj(p) - j; p += 1 }
+            nStarts = pj.length
+          } else {
+            // in-place sorted intersection of starts[0,nStarts) with pj−j
+            var a = 0; var b = 0; var w = 0
+            while (a < nStarts && b < pj.length) {
+              val sv = starts(a)
+              val pv = pj(b) - j
+              if (sv == pv) { starts(w) = sv; w += 1; a += 1; b += 1 }
+              else if (sv < pv) a += 1
+              else b += 1
+            }
+            nStarts = w
+          }
+          j += 1
+        }
+        if (nStarts > 0) out += ((maxDoc, nStarts))
+        i = 0
+        while (i < its.length) { its(i).next(); i += 1 }
+      } else {
+        i = 0
+        while (i < its.length) {
+          if (its(i).curDoc < maxDoc) its(i).advanceTo(maxDoc)
+          i += 1
+        }
+      }
+    }
+    out.iterator
   }
 }

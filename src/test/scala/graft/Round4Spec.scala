@@ -1,0 +1,125 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.build.{IndexBuilder, IndexConfig}
+import graft.codec.PostingsCodec
+import graft.model.{CodeDoc, CorpusStats, Posting}
+import graft.query.{BM25, Searcher, TermIterator, Wand}
+
+/** Round-4 gates: pruned positional phrase path (rank identity vs the
+  * exhaustive explode-join + lazy-positions skip observable) and the
+  * one-metadata-collect-per-query job budget. */
+class Round4Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def mix(z0: Long): Long = graft.tools.CodeCorpus.mix(z0)
+
+  /** Random corpus with enough term adjacency for phrase hits. */
+  private def corpus(seed: Long, n: Int): Seq[CodeDoc] = {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "rare1", "rare2", "the", "for")
+    (0 until n).map { i =>
+      val len = 2 + (mix(seed ^ i) & 0x7FFFFFFF).toInt % 40
+      val words = (0 until len).map { t =>
+        vocab(((mix(seed ^ (i * 131L + t)) & 0x7FFFFFFF) %
+          (if (t % 7 == 0) vocab.length else 10)).toInt)
+      }
+      CodeDoc("r" + (i % 4), s"f$i", "c0", "x", words.mkString(" "))
+    }
+  }
+
+  test("pruned phrase path is rank- and score-identical to the exhaustive path") {
+    for ((seed, n, shardSize) <- Seq((7L, 150, 16L), (99L, 220, 64L), (5L, 90, 1024L))) {
+      val idx = IndexBuilder.fromCodeDocs(spark, corpus(seed, n).toDS(),
+        IndexConfig(shardSizeDocs = shardSize)).cache()
+      val s = new Searcher(spark, idx)
+      val phrases = Seq(
+        Seq("alpha", "beta"), Seq("beta", "alpha"),
+        Seq("gamma", "delta", "eps"), Seq("alpha", "beta", "alpha"),
+        Seq("alpha"), Seq("rare1", "alpha"),
+        Seq("alpha", "zzz_missing"))
+      for (p <- phrases; k <- Seq(1, 5, 20)) {
+        val tag = s"seed=$seed shard=$shardSize phrase=$p k=$k"
+        val ex = s.phraseTopKExhaustive(p, k).collect()
+          .map(r => (r.getLong(0), r.getDouble(1)))
+        val pr = s.phraseTopK(p, k).collect()
+          .map(r => (r.getLong(0), r.getDouble(1)))
+        assert(pr.map(_._1).toSeq === ex.map(_._1).toSeq, tag)
+        pr.zip(ex).foreach { case (a, b) =>
+          assert(math.abs(a._2 - b._2) <= 1e-12 * math.max(1.0, math.abs(b._2)), tag)
+        }
+      }
+      idx.unpersist()
+    }
+  }
+
+  test("skewed phrase: common term decodes only the blocks near the rare term's docs") {
+    // common term in every doc (many blocks); rare term in 3 docs at
+    // the tail — the docId leapfrog must skip the common term's early
+    // blocks entirely and decode positions lazily only at alignments.
+    val nDocs = 4000
+    val common = (0 until nDocs).map(d => Posting(d.toLong, 1, Array(1)))
+    val rareDocs = Seq(3800L, 3900L, 3999L)
+    val rare = rareDocs.map(d => Posting(d, 1, Array(2))).toIndexedSeq
+    val stats = CorpusStats(nDocs.toLong, 2.0)
+    val sc = BM25()
+    def iter(ps: IndexedSeq[Posting], term: String) = new TermIterator(
+      term, ps.length.toDouble, 1.0, sc, stats,
+      new PostingsCodec.BlobView(PostingsCodec.encodePostingsBlob(ps)))
+    val ci = iter(common.toIndexedSeq, "common")
+    val ri = iter(rare, "rare")
+    val hits = Wand.phraseMatches(Seq("common", "rare"),
+      Map("common" -> ci, "rare" -> ri)).toSeq
+    assert(hits.map(_._1) === rareDocs) // common@1, rare@2 consecutive
+    val totalBlocks = (nDocs + PostingsCodec.BlockSize - 1) / PostingsCodec.BlockSize
+    // docId-level: leapfrog must touch far fewer blocks than exist
+    assert(ci.decodedBlocks < totalBlocks / 4,
+      s"decoded ${ci.decodedBlocks} of $totalBlocks docId blocks")
+    // positions-level: only the blocks containing alignments (≤ 3)
+    assert(ci.decodedPosBlocks <= rareDocs.length,
+      s"decoded ${ci.decodedPosBlocks} positional blocks")
+    assert(ci.decodedPosBlocks < ci.decodedBlocks)
+  }
+
+  test("topKWand runs at most 2 jobs (one metadata collect + one main job)") {
+    val idx = IndexBuilder.fromCodeDocs(spark, corpus(11L, 200).toDS(),
+      IndexConfig(shardSizeDocs = 64)).cache()
+    idx.postings.count(); idx.docs.count(); idx.stats // warm + force lazy stats
+    val s = new Searcher(spark, idx)
+    s.topKWand(Seq("alpha", "rare1"), 5).collect() // warm codegen paths
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    // AQE submits each shuffle-stage materialization as its own job
+    // inside the ONE main query — those are not extra driver actions.
+    // Disable it here so the job count equals the action count being
+    // asserted: 1 metadata collect + 1 main query, nothing else.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      s.topKWand(Seq("alpha", "rare2"), 5).collect()
+      // listener events are async — poll briefly for the bus to drain
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (System.nanoTime() < deadline && jobs.get() == 0) Thread.sleep(20)
+      Thread.sleep(200)
+      assert(jobs.get() <= 2, s"topKWand launched ${jobs.get()} jobs")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
+    idx.unpersist()
+  }
+
+  test("phrase with a term absent from the index returns empty") {
+    val idx = IndexBuilder.fromCodeDocs(spark, corpus(3L, 50).toDS(),
+      IndexConfig(shardSizeDocs = 32))
+    val s = new Searcher(spark, idx)
+    assert(s.phraseTopK(Seq("alpha", "zzz_nope"), 10).collect().isEmpty)
+  }
+}
