@@ -23,7 +23,10 @@ import graft.model.TermOcc
   * (see SparkEntry.oracleSql — `regexp_split_to_table(lower(x),
   * '[^a-z0-9_]+')` + stop-set filter + ordinality).
   */
-object Analyzer extends Serializable {
+object Analyzer extends TextAnalyzer {
+
+  /** ≙ the reference's default StandardAnalyzer config value. */
+  def name: String = "standard"
 
   /** Lucene 3.0 StopAnalyzer.ENGLISH_STOP_WORDS_SET, verbatim. */
   val EnglishStopWords: Set[String] = Set(
@@ -120,7 +123,7 @@ object Analyzer extends Serializable {
   /** Calls f(term, pos) for every EMITTED (non-stopword) token —
     * stopwords are filtered against the scan buffer BEFORE the term
     * String is allocated. This is what the indexing path uses. */
-  @inline def foreachEmitted(text: String)(f: (String, Int) => Unit): Unit =
+  @inline override def foreachEmitted(text: String)(f: (String, Int) => Unit): Unit =
     scanBuf(text) { (buf, len, pos) =>
       if (!isStopBuf(buf, len)) f(new String(buf, 0, len), pos)
     }
@@ -132,11 +135,16 @@ object Analyzer extends Serializable {
     * doc (token occurrences outnumber per-doc distinct terms ~2.5×,
     * and those Strings were the build's largest remaining allocation
     * source). The buffer is only valid during the callback. */
-  @inline private[graft] def foreachEmittedBuf(text: String)(
+  @inline def foreachEmittedBuf(text: String)(
       f: (Array[Char], Int, Int) => Unit): Unit =
     scanBuf(text) { (buf, len, pos) =>
       if (!isStopBuf(buf, len)) f(buf, len, pos)
     }
+
+  /** Native codegen'd docLen expression — stays in WholeStageCodegen
+    * (overrides the trait's UDF default). */
+  override def docLenCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.sql.GraftFunctions.docLenCol(c)
 
   /** Raw tokens (lowercased, split), stop words INCLUDED — position
     * source of truth. */
@@ -161,7 +169,7 @@ object Analyzer extends Serializable {
   /** Emitted-token count (document length for BM25's dl): number of
     * non-stopword tokens. ZERO allocation — tokens are counted and
     * stop-checked in the scan buffer, never materialized. */
-  def docLen(text: String): Int = {
+  override def docLen(text: String): Int = {
     var n = 0
     scanBuf(text)((buf, len, _) => if (!isStopBuf(buf, len)) n += 1)
     n

@@ -105,19 +105,51 @@ object EngineQueries {
   /** Persisted-index roots for the SQL surface, one per scale dir —
     * match_query() reads a committed on-disk snapshot, so the index
     * is written once per JVM (same build-once/query-many shape as
-    * `index`). */
+    * `index`). First-build is SERIALIZED per dir (TrieMap
+    * getOrElseUpdate evaluates its thunk non-atomically — two
+    * concurrent first calls would both write an index and leak an
+    * orphan temp dir), and every temp root is registered for deletion
+    * at JVM exit. */
   private val sqlRoots = TrieMap.empty[String, String]
+  private val sqlRootsLock = new Object
+
+  private def deleteAtExit(dir: java.nio.file.Path): Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          val cs = try {
+            val it = s.iterator()
+            val b = Seq.newBuilder[java.nio.file.Path]
+            while (it.hasNext) b += it.next()
+            b.result()
+          } finally s.close()
+          cs.foreach(rm)
+        }
+        java.nio.file.Files.deleteIfExists(p); ()
+      }
+      try rm(dir) catch { case _: Throwable => () }
+    }))
+    ()
+  }
 
   /** The SQL table-function surface: `SELECT * FROM match_query(root,
     * text, k)` over a PERSISTED index snapshot. Rank-identical to
     * `bm25Wand` by construction (the TVF substitutes the same WAND
     * plan), but exercises the full persist → load → SQL path. */
   def matchSql(s: SparkSession, dir: String): DataFrame = {
-    val root = sqlRoots.getOrElseUpdate(dir, {
-      val out = java.nio.file.Files.createTempDirectory("graft_sqlidx").toString
-      graft.table.IndexTables.write(s, index(s, dir), out)
-      out
-    })
+    val root = sqlRoots.get(dir) match {
+      case Some(r) => r
+      case None => sqlRootsLock.synchronized {
+        sqlRoots.getOrElseUpdate(dir, {
+          val outPath = java.nio.file.Files.createTempDirectory("graft_sqlidx")
+          deleteAtExit(outPath)
+          val out = outPath.toString
+          graft.table.IndexTables.write(s, index(s, dir), out)
+          out
+        })
+      }
+    }
     graft.sql.MatchQuery.register(s)
     asTopK(s.sql(s"SELECT * FROM match_query('$root', 'spark merge window', 10)"))
   }

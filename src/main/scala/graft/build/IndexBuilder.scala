@@ -54,7 +54,12 @@ final case class IndexConfig(
       * index should carry metadata (docKey, dl, sha256, stored
       * fields) and leave the text in the source table. Kept on by
       * default for API convenience on small tables. */
-    storeContent: Boolean = true)
+    storeContent: Boolean = true,
+    /** Pluggable analyzer (≙ the reference's by-class-name analyzer
+      * selection, create/IndexConfiguration.java:167-174). Default is
+      * the oracle-parity standard analyzer; queries against an index
+      * must tokenize with the SAME analyzer it was built with. */
+    analyzer: graft.analysis.TextAnalyzer = Analyzer)
 
 /** The built index: four logical tables (SURVEY.md §1.6).
   *
@@ -142,10 +147,17 @@ object IndexBuilder {
     private var idxs = new Array[Int](cap)
     private var terms = new Array[String](128)
     private var pool = new Array[IntBuf](128)
+    /** Occupied table slot per entry (parallel to terms) — reset
+      * clears ONLY these, so one term-rich doc that grew the table
+      * doesn't inflate every later doc's reset to O(cap): reset cost
+      * stays proportional to THIS doc's distinct terms. Rebuilt on
+      * growTable alongside the rehash. */
+    private var slots = new Array[Int](128)
     private var n = 0
 
     def reset(): Unit = {
-      java.util.Arrays.fill(keys.asInstanceOf[Array[AnyRef]], null)
+      var i = 0
+      while (i < n) { keys(slots(i)) = null; i += 1 }
       n = 0
     }
 
@@ -157,6 +169,7 @@ object IndexBuilder {
           if (n == terms.length) {
             terms = java.util.Arrays.copyOf(terms, n * 2)
             pool = java.util.Arrays.copyOf(pool, n * 2)
+            slots = java.util.Arrays.copyOf(slots, n * 2)
           }
           if (pool(n) == null) pool(n) = new IntBuf
           pool(n).clear()
@@ -164,6 +177,7 @@ object IndexBuilder {
           terms(n) = term
           keys(s) = term
           idxs(s) = n
+          slots(n) = s
           n += 1
           if (n * 4 > cap * 3) growTable()
           return
@@ -213,7 +227,7 @@ object IndexBuilder {
       while (i < n) {
         var s = terms(i).hashCode & mask
         while (keys(s) != null) s = (s + 1) & mask
-        keys(s) = terms(i); idxs(s) = i
+        keys(s) = terms(i); idxs(s) = i; slots(i) = s
         i += 1
       }
     }
@@ -266,12 +280,13 @@ object IndexBuilder {
   private[graft] def analyzeDoc(
       docId: Long,
       tokenized: Seq[(String, String)],
-      untokenized: Seq[(String, String)]): Iterator[(String, String, Long, Int, Seq[Int])] = {
+      untokenized: Seq[(String, String)],
+      analyzer: graft.analysis.TextAnalyzer = Analyzer): Iterator[(String, String, Long, Int, Seq[Int])] = {
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, Long, Int, Seq[Int])]
     tokenized.foreach { case (field, text) =>
       val m = scala.collection.mutable.LinkedHashMap.empty[String, IntBuf]
-      Analyzer.foreachEmitted(text) { (term, pos) =>
+      analyzer.foreachEmitted(text) { (term, pos) =>
         m.getOrElseUpdate(term, new IntBuf).add(pos)
       }
       m.foreach { case (t, ps) =>
@@ -302,7 +317,8 @@ object IndexBuilder {
       slim: DataFrame,
       tokenized: Seq[String],
       untokenized: Seq[String],
-      shardSize: Long): DataFrame = {
+      shardSize: Long,
+      analyzer: graft.analysis.TextAnalyzer = Analyzer): DataFrame = {
     import spark.implicits._
     slim.mapPartitions { rows =>
       // per-field term maps (string keys — no tuple allocation per
@@ -333,7 +349,7 @@ object IndexBuilder {
           // doc-local (term → positions) aggregation, then one append
           // per distinct term into the partition-level columnar run
           scratch.reset()
-          Analyzer.foreachEmittedBuf(row.getString(tokOrds(fi)))(scratchAdd)
+          analyzer.foreachEmittedBuf(row.getString(tokOrds(fi)))(scratchAdd)
           var i = 0
           val nTerms = scratch.size
           while (i < nTerms) {
@@ -725,28 +741,44 @@ object IndexBuilder {
       path: String,
       fileRows: Seq[(String, Long)],
       cfg: IndexConfig = IndexConfig()): InvertedIndex =
-    build(spark, tableWithIds(spark, path, fileRows),
+    build(spark, tableWithIds(spark, path, fileRows, cfg.analyzer),
       Seq(TokenizedField), Seq("path", "lang"), cfg)
 
   /** The annotated code-corpus docs DataFrame (docId from file-offset
     * metadata, docKey, sha256, dl) — shared by the build entry point
-    * and the scaling phase probe. */
+    * and the scaling phase probe.
+    *
+    * The (file_name → base offset) table is BROADCAST-JOINED on
+    * `_metadata.file_name`, not shipped as a UDF closure map: a
+    * closure copies the whole map into every task (at 10^8 manifest
+    * entries, GBs × tasks), while a broadcast relation is
+    * Catalyst-managed — built once, torrent-shipped once per executor,
+    * and visible to the optimizer. Beyond broadcast size (≳10^8
+    * files), the manifest itself should live as a distributed catalog
+    * table and the prefix sum run as the two-level distributed pattern
+    * (assignDocIds); the Seq-manifest entry points here are for
+    * catalogs that fit on the driver. */
   private[graft] def tableWithIds(
       spark: SparkSession,
       path: String,
-      fileRows: Seq[(String, Long)]): DataFrame = {
+      fileRows: Seq[(String, Long)],
+      analyzer: graft.analysis.TextAnalyzer = Analyzer): DataFrame = {
+    import spark.implicits._
     var off = 0L
     val offsets = fileRows.sortBy(_._1).map { case (name, n) =>
       val o = (name, off); off += n; o
-    }.toMap
-    val offsetUdf = udf((name: String) => offsets(name))
+    }
+    val offsetsDf = offsets.toDF("_graft_file", "_graft_base")
     spark.read.parquet(path)
+      .withColumn("_graft_file", col("_metadata.file_name"))
+      .withColumn("_graft_ridx", col("_metadata.row_index"))
+      .join(broadcast(offsetsDf), Seq("_graft_file"))
       .withColumn("docKey",
         concat_ws("", col("repo"), lit("/"), col("path"), lit("@"), col("commit")))
-      .withColumn("docId",
-        offsetUdf(col("_metadata.file_name")) + col("_metadata.row_index"))
+      .withColumn("docId", col("_graft_base") + col("_graft_ridx"))
+      .drop("_graft_file", "_graft_base", "_graft_ridx")
       .withColumn("content_sha256", sha2(col("content"), 256))
-      .withColumn("dl", docLenCol(col("content")))
+      .withColumn("dl", docLenCol(col("content"), analyzer))
   }
 
   /** Dense docIDs in INPUT order — zero shuffle. Per-partition local
@@ -814,7 +846,7 @@ object IndexBuilder {
       else assignDocIds(keyed, Seq("docKey"), nPart)
     val docs = withIds
       .withColumn("content_sha256", sha2(col("content"), 256))
-      .withColumn("dl", docLenCol(col("content")))
+      .withColumn("dl", docLenCol(col("content"), cfg.analyzer))
     build(spark, docs,
       tokenized = Seq(TokenizedField),
       untokenized = Seq("path", "lang"),
@@ -833,17 +865,20 @@ object IndexBuilder {
     val docs = df
       .withColumn("docId", col(idCol).cast("long"))
       .withColumn("content_sha256", sha2(col(textCol), 256))
-      .withColumn("dl", docLenCol(col(textCol)))
+      .withColumn("dl", docLenCol(col(textCol), cfg.analyzer))
       .withColumnRenamed(textCol, TokenizedField)
     build(spark, docs, Seq(TokenizedField), untokenized, cfg)
   }
 
-  /** dl via the NATIVE codegen'd expression (stays inside
-    * WholeStageCodegen; no UDF row conversion). Null text → dl 0, not
-    * NULL: avgdl must include empty docs (oracle-parity contract), and
-    * a NULL dl would nullify scoring-join contributions. */
-  private def docLenCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    coalesce(graft.sql.GraftFunctions.docLenCol(c).cast("long"), lit(0L))
+  /** dl via the analyzer's column expression (the default analyzer's
+    * is a NATIVE codegen'd expression — stays inside WholeStageCodegen,
+    * no UDF row conversion). Null text → dl 0, not NULL: avgdl must
+    * include empty docs (oracle-parity contract), and a NULL dl would
+    * nullify scoring-join contributions. */
+  private def docLenCol(
+      c: org.apache.spark.sql.Column,
+      analyzer: graft.analysis.TextAnalyzer = Analyzer): org.apache.spark.sql.Column =
+    coalesce(analyzer.docLenCol(c).cast("long"), lit(0L))
 
   /** Core DAG shared by both entry points. `docs` must carry docId,
     * dl, content_sha256 and the field columns. */
@@ -874,7 +909,8 @@ object IndexBuilder {
         (docId, tok, untok)
       }
       .flatMap { case (docId, tok, untok) =>
-        analyzeDoc(docId, tok.filter(t => tokSet.contains(t._1)), untok)
+        analyzeDoc(docId, tok.filter(t => tokSet.contains(t._1)), untok,
+          cfg.analyzer)
       }
       .toDF("field", "term", "docId", "tf", "positions")
       .withColumn("shard", (col("docId") / lit(shardSize)).cast("long"))
@@ -882,7 +918,8 @@ object IndexBuilder {
     val postings = cfg.buildMode match {
       case "segment" =>
         mergeSegments(spark,
-          segmentPartials(spark, slim, tokenized, untokenized, shardSize), cfg)
+          segmentPartials(spark, slim, tokenized, untokenized, shardSize,
+            cfg.analyzer), cfg)
       case "sort" => sortBasedPostings(spark, occs, cfg)
       case _ => aggBasedPostings(occs, cfg)
     }

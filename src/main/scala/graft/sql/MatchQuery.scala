@@ -39,6 +39,18 @@ object MatchQuery {
     * root like EngineQueries' per-dir cache. */
   private val indexCache = TrieMap.empty[String, InvertedIndex]
 
+  /** Named-index catalog: `registerIndex("code", root)` lets SQL read
+    * `match_query('code', …)` instead of a filesystem path. Names
+    * resolve before paths; unregistered strings are treated as roots.
+    * (The TVF still requires LITERAL arguments — the builder runs at
+    * analysis time, so the root/name, query text and k cannot come
+    * from columns. Documented limitation.) */
+  private val catalog = TrieMap.empty[String, String]
+
+  def registerIndex(name: String, root: String): Unit = {
+    catalog.put(name, root); ()
+  }
+
   private def strArg(args: Seq[Expression], i: Int, name: String): String = {
     require(args(i).foldable, s"match_query: $name must be a literal")
     args(i).eval() match {
@@ -60,7 +72,8 @@ object MatchQuery {
     require(args.length >= 3 && args.length <= 4,
       "usage: match_query(root, query, k[, 'or'|'and'])")
     val spark = SparkSession.active
-    val root = strArg(args, 0, "root")
+    val rootArg = strArg(args, 0, "root")
+    val root = catalog.getOrElse(rootArg, rootArg)
     val query = strArg(args, 1, "query")
     val k = intArg(args, 2, "k")
     val mode =

@@ -111,14 +111,16 @@ object StreamingIndexer {
   }
 
   /** Compact all committed segment snapshots into ONE persisted
-    * docs/postings/termStats/stats snapshot set under `root/compacted`
-    * (the reference's segment merge / Lucene optimize, as a batch job):
-    * postings merge by blob concatenation (re-encoding fragmented or
-    * interleaved runs), termStats and corpus stats derive from the
-    * written tables. The result loads with `IndexTables.load` — query
-    * cost no longer grows with the number of ingested micro-batches.
-    * Old segment snapshots stay on disk (immutable); callers delete
-    * them once the compacted manifest is committed. */
+    * docs/postings/termStats/stats snapshot set under
+    * `root/compacted-<latestBatch>` (the reference's segment merge /
+    * Lucene optimize, as a batch job): postings merge by blob
+    * concatenation (re-encoding fragmented or interleaved runs),
+    * termStats and corpus stats derive from the written tables. The
+    * result loads with `IndexTables.load` — query cost no longer grows
+    * with the number of ingested micro-batches. Compaction is
+    * INCREMENTAL: loadMerged bases on the previous compaction plus
+    * only the newer segments. Superseded segments are reclaimed by
+    * `pruneSegments` once the compacted manifests are committed. */
   def compact(spark: SparkSession, root: String,
       cfg: IndexConfig = IndexConfig()): InvertedIndex = {
     val merged = loadMerged(spark, root, cfg)
@@ -126,25 +128,116 @@ object StreamingIndexer {
     // the same segment set is an idempotent no-op (manifest-gated),
     // while new batches produce a FRESH compaction instead of silently
     // returning the stale one
-    val latest = segmentTables(root, "postings-b").last.stripPrefix("postings-b")
+    val segs = segmentTables(root, "postings-b").map(_.stripPrefix("postings-b").toLong)
+    val latest = (latestCompaction(root).toSeq ++ segs).max
     val out = s"$root/compacted-$latest"
     graft.table.IndexTables.write(spark, merged, out)
     graft.table.IndexTables.load(spark, out)
   }
 
-  /** Merge all committed segments into one queryable index. The shard
-    * width is restored from ingest_config.json when present — the
-    * stored posting rows' shard column was computed with it, and a
-    * mismatched width would silently mis-prune the query paths. */
+  /** Newest compacted-<N> snapshot whose manifests are ALL committed
+    * (docs + postings + termStats manifests and stats.json) — a
+    * half-written compaction is invisible, exactly like a half-written
+    * segment. */
+  def latestCompaction(root: String): Option[Long] = {
+    if (!Files.isDirectory(Paths.get(root))) return None
+    val s = Files.list(Paths.get(root))
+    val ids =
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("compacted-") =>
+          n.stripPrefix("compacted-").toLong
+        }.toSeq
+      finally s.close()
+    ids.sorted(Ordering[Long].reverse).find { id =>
+      val dir = s"$root/compacted-$id"
+      Seq("docs", "postings", "termStats").forall(TableFormat.isCommitted(dir, _)) &&
+        Files.exists(Paths.get(dir, "stats.json"))
+    }
+  }
+
+  /** Segment GC: delete segment snapshots SUPERSEDED by the newest
+    * committed compaction (batchId ≤ N for compacted-N). Per segment
+    * the manifest goes FIRST — manifest removal atomically removes the
+    * segment from every load path (a table is visible iff its manifest
+    * exists) — then the data directory; a crash between the two leaves
+    * an invisible orphan dir that the next prune sweeps. No-op when no
+    * compaction is committed. Returns the pruned batch ids. */
+  def pruneSegments(root: String): Seq[Long] =
+    latestCompaction(root) match {
+      case None => Seq.empty
+      case Some(n) =>
+        val pruned = for {
+          prefix <- Seq("docs-b", "postings-b")
+          tbl <- segmentTables(root, prefix)
+          id = tbl.stripPrefix(prefix).toLong
+          if id <= n
+        } yield {
+          val manifest = Paths.get(root, s"$tbl.manifest.json")
+          val dataDirs = {
+            val s = Files.list(Paths.get(root))
+            try s.iterator().asScala
+              .filter(_.getFileName.toString.startsWith(s"$tbl.snap-")).toSeq
+            finally s.close()
+          }
+          Files.deleteIfExists(manifest)
+          dataDirs.foreach(deleteRecursively)
+          id
+        }
+        // orphan sweep: data dirs whose manifest vanished in an earlier
+        // crashed prune (segment id ≤ N, invisible to all load paths)
+        val s2 = Files.list(Paths.get(root))
+        val orphans =
+          try s2.iterator().asScala.filter { p =>
+            val name = p.getFileName.toString
+            "^(docs|postings)-b([0-9]+)\\.snap-".r.findFirstMatchIn(name) match {
+              case Some(m) =>
+                m.group(2).toLong <= n &&
+                  !Files.exists(Paths.get(root,
+                    s"${m.group(1)}-b${m.group(2)}.manifest.json"))
+              case None => false
+            }
+          }.toSeq
+          finally s2.close()
+        orphans.foreach(deleteRecursively)
+        pruned.distinct.sorted
+    }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      val children = try s.iterator().asScala.toSeq finally s.close()
+      children.foreach(deleteRecursively)
+    }
+    Files.deleteIfExists(p)
+  }
+
+  /** Merge the newest committed compaction (if any) with every segment
+    * ingested after it into one queryable index — the single load path
+    * before AND after pruning: segments the GC removed are exactly the
+    * ones the compaction already covers. The shard width is restored
+    * from ingest_config.json when present — the stored posting rows'
+    * shard column was computed with it, and a mismatched width would
+    * silently mis-prune the query paths. */
   def loadMerged(spark: SparkSession, root: String,
       cfg: IndexConfig = IndexConfig()): InvertedIndex = {
     val effCfg = readIngestShardSize(root)
       .map(s => cfg.copy(shardSizeDocs = s)).getOrElse(cfg)
-    val docTables = segmentTables(root, "docs-b")
-    require(docTables.nonEmpty, s"no committed segments under $root")
-    val docs = docTables.map(TableFormat.read(spark, root, _)).reduce(_ union _)
-    val partials = segmentTables(root, "postings-b")
-      .map(TableFormat.read(spark, root, _)).reduce(_ union _)
+    val compacted = latestCompaction(root)
+    val base = compacted.map(n => s"$root/compacted-$n")
+    val minBatch = compacted.map(_ + 1).getOrElse(0L)
+    def newer(prefix: String): Seq[String] =
+      segmentTables(root, prefix)
+        .filter(_.stripPrefix(prefix).toLong >= minBatch)
+    val docTables = newer("docs-b")
+    require(docTables.nonEmpty || base.nonEmpty,
+      s"no committed segments under $root")
+    val docParts = base.map(TableFormat.read(spark, _, "docs")).toSeq ++
+      docTables.map(TableFormat.read(spark, root, _))
+    val docs = docParts.reduce(_ union _)
+    val postParts = base.map(TableFormat.read(spark, _, "postings")).toSeq ++
+      newer("postings-b").map(TableFormat.read(spark, root, _))
+    val partials = postParts.reduce(_ union _)
     val postings = IndexBuilder.mergeSegmentRows(partials, effCfg)
     val termStats = postings.groupBy("field", "term").agg(
       sum("df").as("df"), sum("cf").as("cf"), max("maxTf").as("maxTf"))

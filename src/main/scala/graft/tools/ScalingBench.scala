@@ -35,10 +35,28 @@ object ScalingBench {
     sys.env.get("GRAFT_EXECUTORS") match {
       case Some(k) =>
         val execs = k.toInt
+        // integer division would silently run fewer total cores than
+        // `cpus` while the run stays labeled graft-scaling-<cpus>,
+        // skewing per-core efficiency — fail fast instead
+        require(execs > 0 && cpus % execs == 0,
+          s"GRAFT_EXECUTORS=$execs must divide cpus=$cpus evenly " +
+            s"(would run ${execs * (cpus / math.max(execs, 1))} cores labeled $cpus)")
         val memMb = sys.env.getOrElse("GRAFT_EXEC_MEM_MB", "6144").toInt
-        s"local-cluster[$execs,${math.max(1, cpus / execs)},$memMb]"
+        s"local-cluster[$execs,${cpus / execs},$memMb]"
       case None => s"local[$cpus]"
     }
+
+  /** Classes dir shipped to local-cluster executor JVMs — derived from
+    * the RUNNING JVM's classpath (sbt runMain puts target/classes on
+    * it), overridable via GRAFT_EXEC_CLASSPATH; a stale hardcoded path
+    * would fail with executor-side ClassNotFound silently swallowed
+    * into task retries. */
+  private def execClassPath: String =
+    sys.env.get("GRAFT_EXEC_CLASSPATH")
+      .orElse(System.getProperty("java.class.path")
+        .split(java.io.File.pathSeparator)
+        .find(p => p.endsWith("classes") && p.contains("target")))
+      .getOrElse("/root/repo/target/scala-2.13/classes")
 
   private def session(cpus: Int): SparkSession = {
     val b = SparkSession.builder()
@@ -46,8 +64,7 @@ object ScalingBench {
       .appName(s"graft-scaling-$cpus")
     // local-cluster executors are separate JVMs: ship our classes
     if (sys.env.contains("GRAFT_EXECUTORS")) {
-      b.config("spark.executor.extraClassPath",
-        "/root/repo/target/scala-2.13/classes")
+      b.config("spark.executor.extraClassPath", execClassPath)
         .config("spark.executor.memory",
           sys.env.getOrElse("GRAFT_EXEC_MEM_MB", "6144") + "m")
     }

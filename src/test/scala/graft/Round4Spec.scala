@@ -116,6 +116,119 @@ class Round4Spec extends AnyFunSuite {
     idx.unpersist()
   }
 
+  test("metadata docIDs come from a broadcast join, not a closure map") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r4_tbl").toString
+    corpus(21L, 300).toDF()
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    val files = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSeq.sorted
+      } finally s.close()
+    }
+    val spark2 = spark
+    val counts = files.map { f =>
+      f -> spark2.read.parquet(s"$dir/$f").count()
+    }
+    val withIds = graft.build.IndexBuilder.tableWithIds(spark, dir, counts)
+    withIds.collect()
+    val plan = withIds.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.toLowerCase.contains("udf"), plan.take(2000))
+    // dense ids 0..N-1, contiguous per name-sorted file
+    val ids = withIds.select("docId").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (0L until 300L))
+    // determinism: ids follow (file name asc, row_index asc)
+    val byKey = withIds.select("docId", "docKey").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(byKey.size === 300)
+  }
+
+  test("simhashEdges: 1k identical docs give O(n) edges with identical groups") {
+    import graft.pipeline.TextPipeline
+    val n = 1000
+    val docs = ((0 until n).map(i => (i.toLong, "identical content words here common"))
+      ++ Seq((5000L, "totally different text alpha beta"),
+             (5001L, "totally different text alpha beta"),
+             (6000L, "unique singleton document body")))
+      .toDF("doc_id", "text")
+    val edges = TextPipeline.simhashEdges(docs, 8)
+    val nEdges = edges.count()
+    // star edges: n−1 for the identical block + 1 for the 5000/5001
+    // pair (+ possibly a few value-level edges) — must be linear, not n²/2
+    assert(nEdges < 2L * (n + 2), s"simhashEdges emitted $nEdges edges")
+    val pairGroups = TextPipeline
+      .dedupGroupsFromPairs(docs, TextPipeline.simhashPairs(docs, 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val edgeGroups = TextPipeline.dedupGroups(docs, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(edgeGroups === pairGroups)
+  }
+
+  test("simhashEdges components equal full-pair components on a varied corpus") {
+    import graft.pipeline.TextPipeline
+    val docs = (0L until 120L).map { i =>
+      val base = Seq("alpha beta gamma delta common words here body text",
+        "epsilon zeta eta theta more words in this one here",
+        "totally different third cluster of words goes here now")(i.toInt % 3)
+      val variant = if (i % 5 == 0) base + s" tok$i" else base
+      (i, variant)
+    }.toDF("doc_id", "text")
+    val viaPairs = TextPipeline
+      .dedupGroupsFromPairs(docs, TextPipeline.simhashPairs(docs, 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaEdges = TextPipeline.dedupGroups(docs, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaEdges === viaPairs)
+  }
+
+  test("alternate analyzer round-trip: underscore split + no stop set") {
+    import graft.analysis.CodeIdentifierAnalyzer
+    val docs = Seq(
+      (0L, "def snake_case(x): return the_value"),
+      (1L, "for item in collection"),
+      (2L, "totally unrelated words")).toDF("doc_id", "text")
+    val cfg = IndexConfig(shardSizeDocs = 64, analyzer = CodeIdentifierAnalyzer)
+    val idx = IndexBuilder.fromText(spark, docs, "doc_id", "text", Nil, cfg)
+    val terms = idx.termStats.select("term").collect().map(_.getString(0)).toSet
+    // snake_case split at the underscore; stopwords kept
+    assert(terms.contains("snake") && terms.contains("case"))
+    assert(!terms.contains("snake_case"))
+    assert(terms.contains("the") && terms.contains("for") && terms.contains("in"))
+    val s = new Searcher(spark, idx)
+    assert(s.topK(Seq("case"), 5).collect().map(_.getLong(0)).toSeq === Seq(0L))
+    assert(s.topKWand(Seq("for"), 5).collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // dl matches the analyzer's own token count (UDF path, not the
+    // default's native expression)
+    val dls = idx.docs.select("docId", "dl").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dls(1L) === 4L) // for, item, in, collection — stopwords kept
+    // default analyzer on the same text keeps snake_case whole + drops stops
+    val dIdx = IndexBuilder.fromText(spark, docs, "doc_id", "text", Nil,
+      IndexConfig(shardSizeDocs = 64))
+    val dTerms = dIdx.termStats.select("term").collect().map(_.getString(0)).toSet
+    assert(dTerms.contains("snake_case") && !dTerms.contains("the"))
+  }
+
+  test("match_query resolves registered index names") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r4_named").toString
+    val docs = Seq((0L, "alpha beta gamma"), (1L, "alpha delta"))
+      .toDF("doc_id", "text")
+    val idx = IndexBuilder.fromText(spark, docs, "doc_id", "text", Nil,
+      IndexConfig(shardSizeDocs = 64))
+    graft.table.IndexTables.write(spark, idx, dir)
+    graft.sql.MatchQuery.register(spark)
+    graft.sql.MatchQuery.registerIndex("r4idx", dir)
+    val byName = spark.sql("SELECT * FROM match_query('r4idx', 'alpha', 5)")
+      .collect().map(_.getLong(0)).toSet
+    val byPath = spark.sql(s"SELECT * FROM match_query('$dir', 'alpha', 5)")
+      .collect().map(_.getLong(0)).toSet
+    assert(byName === Set(0L, 1L))
+    assert(byName === byPath)
+  }
+
   test("phrase with a term absent from the index returns empty") {
     val idx = IndexBuilder.fromCodeDocs(spark, corpus(3L, 50).toDS(),
       IndexConfig(shardSizeDocs = 32))

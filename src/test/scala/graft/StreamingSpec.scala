@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -95,6 +96,66 @@ class StreamingSpec extends AnyFunSuite {
     graft.table.TableFormat.write(spark, extraIdx.postings, root, "postings-b2", 3L)
     val recompacted = StreamingIndexer.compact(spark, root, cfg)
     assert(recompacted.stats.numDocs === 120)
+  }
+
+  test("pruneSegments removes only compaction-covered segments; crash mid-prune still loads") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_prune").toString
+    val cfg = IndexConfig(shardSizeDocs = 32)
+    def writeSeg(id: Long, range: Range): Unit = {
+      val idx = IndexBuilder.fromText(spark,
+        range.map(i => mkDoc(i.toLong)).toDF("doc_id", "text"), "doc_id", "text", Nil, cfg)
+      graft.table.TableFormat.write(spark, idx.docs, root, s"docs-b$id", id + 1)
+      graft.table.TableFormat.write(spark, idx.postings, root, s"postings-b$id", id + 1)
+    }
+    writeSeg(0L, 0 until 40)
+    writeSeg(1L, 40 until 80)
+    // no compaction committed yet → prune is a no-op
+    assert(StreamingIndexer.pruneSegments(root).isEmpty)
+    assert(Files.exists(java.nio.file.Paths.get(root, "docs-b0.manifest.json")))
+
+    StreamingIndexer.compact(spark, root, cfg)
+    // new segment AFTER the compaction — must survive the prune
+    writeSeg(2L, 80 until 100)
+    val pruned = StreamingIndexer.pruneSegments(root)
+    assert(pruned === Seq(0L, 1L))
+    for (t <- Seq("docs-b0", "postings-b0", "docs-b1", "postings-b1"))
+      assert(!Files.exists(java.nio.file.Paths.get(root, s"$t.manifest.json")), t)
+    assert(Files.exists(java.nio.file.Paths.get(root, "docs-b2.manifest.json")))
+    // post-prune load = compaction + newer segment, all 100 docs
+    val loaded = StreamingIndexer.loadMerged(spark, root, cfg)
+    assert(loaded.stats.numDocs === 100)
+    val batch = IndexBuilder.fromText(spark,
+      (0L until 100L).map(mkDoc).toDF("doc_id", "text"), "doc_id", "text", Nil, cfg)
+    val sL = new Searcher(spark, loaded)
+    val sB = new Searcher(spark, batch)
+    for (terms <- Seq(Seq("merge"), Seq("spark", "gamma3"), Seq("id42"))) {
+      assert(sL.topK(terms, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        === sB.topK(terms, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+        s"terms=$terms")
+    }
+
+    // crash window: compact again over b2, then simulate dying after
+    // the manifest delete but before the data-dir delete — the orphan
+    // data dir is invisible (manifest-gated) and the next prune sweeps it
+    StreamingIndexer.compact(spark, root, cfg)
+    Files.deleteIfExists(java.nio.file.Paths.get(root, "docs-b2.manifest.json"))
+    val afterCrash = StreamingIndexer.loadMerged(spark, root, cfg)
+    assert(afterCrash.stats.numDocs === 100) // compaction covers b2
+    val orphanExisted = {
+      val s = Files.list(java.nio.file.Paths.get(root))
+      try s.iterator().asScala.exists(_.getFileName.toString.startsWith("docs-b2.snap-"))
+      finally s.close()
+    }
+    assert(orphanExisted)
+    StreamingIndexer.pruneSegments(root)
+    val orphanGone = {
+      val s = Files.list(java.nio.file.Paths.get(root))
+      try !s.iterator().asScala.exists(_.getFileName.toString.startsWith("docs-b2.snap-"))
+      finally s.close()
+    }
+    assert(orphanGone)
+    assert(StreamingIndexer.loadMerged(spark, root, cfg).stats.numDocs === 100)
   }
 
   test("streaming first-seen dedup keeps one row per content hash across batches") {
