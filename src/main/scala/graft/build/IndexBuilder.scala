@@ -153,6 +153,10 @@ object IndexBuilder {
       * stays proportional to THIS doc's distinct terms. Rebuilt on
       * growTable alongside the rehash. */
     private var slots = new Array[Int](128)
+    /** Partition-level TermTable entry index per doc-local entry (−1
+      * on the non-interned paths) — lets the per-doc flush reach the
+      * term's partition accumulator by array index, zero hash probes. */
+    private var tidxs = new Array[Int](128)
     private var n = 0
 
     def reset(): Unit = {
@@ -166,26 +170,32 @@ object IndexBuilder {
       while (true) {
         val k = keys(s)
         if (k == null) {
-          if (n == terms.length) {
-            terms = java.util.Arrays.copyOf(terms, n * 2)
-            pool = java.util.Arrays.copyOf(pool, n * 2)
-            slots = java.util.Arrays.copyOf(slots, n * 2)
-          }
-          if (pool(n) == null) pool(n) = new IntBuf
-          pool(n).clear()
-          pool(n).add(pos)
-          terms(n) = term
-          keys(s) = term
-          idxs(s) = n
-          slots(n) = s
-          n += 1
-          if (n * 4 > cap * 3) growTable()
+          insertNew(term, -1, s, pos)
           return
         } else if ((k eq term) || k.equals(term)) {
           pool(idxs(s)).add(pos)
           return
         } else s = (s + 1) & mask
       }
+    }
+
+    private def insertNew(term: String, tidx: Int, slot: Int, pos: Int): Unit = {
+      if (n == terms.length) {
+        terms = java.util.Arrays.copyOf(terms, n * 2)
+        pool = java.util.Arrays.copyOf(pool, n * 2)
+        slots = java.util.Arrays.copyOf(slots, n * 2)
+        tidxs = java.util.Arrays.copyOf(tidxs, n * 2)
+      }
+      if (pool(n) == null) pool(n) = new IntBuf
+      pool(n).clear()
+      pool(n).add(pos)
+      terms(n) = term
+      tidxs(n) = tidx
+      keys(slot) = term
+      idxs(slot) = n
+      slots(n) = slot
+      n += 1
+      if (n * 4 > cap * 3) growTable()
     }
 
     /** Buffer-keyed add: probes by char content (hash identical to
@@ -209,6 +219,34 @@ object IndexBuilder {
         } else s = (s + 1) & mask
       }
     }
+
+    /** Interned buffer-keyed add — the segment-partials hot path: on a
+      * term's first occurrence in the DOC, the canonical String and
+      * partition accumulator index come from the partition-level
+      * TermTable (which allocates the String only on the term's first
+      * occurrence in the PARTITION — per-(doc, term) String churn
+      * becomes per-(partition, term)); the per-doc flush then reaches
+      * the accumulator via tidx(i), zero hash probes. One char-hash
+      * computation serves both tables (String.hashCode-compatible). */
+    def addBufInterned(buf: Array[Char], len: Int, pos: Int, table: TermTable): Unit = {
+      var h = 0
+      var i = 0
+      while (i < len) { h = h * 31 + buf(i); i += 1 }
+      var s = h & mask
+      while (true) {
+        val k = keys(s)
+        if (k == null) {
+          val ti = table.internIdx(buf, len, h)
+          insertNew(table.term(ti), ti, s, pos)
+          return
+        } else if (k.length == len && regionEq(k, buf, len)) {
+          pool(idxs(s)).add(pos)
+          return
+        } else s = (s + 1) & mask
+      }
+    }
+
+    def tidx(i: Int): Int = tidxs(i)
 
     private def regionEq(k: String, buf: Array[Char], len: Int): Boolean = {
       var i = 0
@@ -253,7 +291,7 @@ object IndexBuilder {
   /** Columnar partial posting accumulator for one (field, term) in one
     * input partition: parallel docId/tf arrays + flattened positions —
     * no Posting objects, no per-posting position arrays. */
-  private final class PartialAcc {
+  private[graft] final class PartialAcc {
     val docIds = new LongBuf
     val tfs = new IntBuf
     val posFlat = new IntBuf
@@ -267,6 +305,79 @@ object IndexBuilder {
     /** Untokenized field value: tf 1, sentinel position 0. */
     def addSentinel(docId: Long): Unit = {
       docIds.add(docId); tfs.add(1); posFlat.add(0)
+    }
+  }
+
+  /** Partition-level term interner + accumulator registry for one
+    * (input partition, field): open-addressing by char content (hash
+    * String.hashCode-compatible), entry = (canonical term String,
+    * PartialAcc). A term String is allocated once per PARTITION, not
+    * once per (doc, term) — on an 800k-file corpus that removes tens
+    * of millions of short-lived Strings from the 32-thread shared
+    * young gen (the measured residual of the 8→32 map-phase scaling
+    * gap) — and the doc flush addresses accumulators by entry index,
+    * replacing a LinkedHashMap probe per (doc, distinct term).
+    * Iteration order (entry index) = first occurrence in partition,
+    * identical to the previous LinkedHashMap emission order, so the
+    * partial rows — and blob bytes — are unchanged. */
+  private[graft] final class TermTable {
+    private var cap = 8192
+    private var mask = cap - 1
+    private var keys = new Array[String](cap)
+    private var idxs = new Array[Int](cap)
+    private var terms = new Array[String](4096)
+    private var accs = new Array[PartialAcc](4096)
+    private var n = 0
+
+    def size: Int = n
+    def term(i: Int): String = terms(i)
+    def acc(i: Int): PartialAcc = accs(i)
+
+    /** Entry index for the term in `buf[0,len)` (h = its
+      * String.hashCode); inserts a new entry with a fresh PartialAcc
+      * on first sight. */
+    def internIdx(buf: Array[Char], len: Int, h: Int): Int = {
+      var s = h & mask
+      while (true) {
+        val k = keys(s)
+        if (k == null) {
+          if (n == terms.length) {
+            terms = java.util.Arrays.copyOf(terms, n * 2)
+            accs = java.util.Arrays.copyOf(accs, n * 2)
+          }
+          terms(n) = new String(buf, 0, len)
+          accs(n) = new PartialAcc
+          keys(s) = terms(n)
+          idxs(s) = n
+          n += 1
+          if (n * 4 > cap * 3) grow()
+          return n - 1
+        } else if (k.length == len && eq(k, buf, len)) return idxs(s)
+        else s = (s + 1) & mask
+      }
+      -1 // unreachable
+    }
+
+    private def eq(k: String, buf: Array[Char], len: Int): Boolean = {
+      var i = 0
+      while (i < len) {
+        if (k.charAt(i) != buf(i)) return false
+        i += 1
+      }
+      true
+    }
+
+    private def grow(): Unit = {
+      cap *= 2; mask = cap - 1
+      keys = new Array[String](cap)
+      idxs = new Array[Int](cap)
+      var i = 0
+      while (i < n) {
+        var s = terms(i).hashCode & mask
+        while (keys(s) != null) s = (s + 1) & mask
+        keys(s) = terms(i); idxs(s) = i
+        i += 1
+      }
     }
   }
 
@@ -321,18 +432,25 @@ object IndexBuilder {
       analyzer: graft.analysis.TextAnalyzer = Analyzer): DataFrame = {
     import spark.implicits._
     slim.mapPartitions { rows =>
-      // per-field term maps (string keys — no tuple allocation per
-      // token); values are columnar accumulators (no Posting objects)
-      val fields = scala.collection.mutable.LinkedHashMap
-        .empty[String, scala.collection.mutable.LinkedHashMap[String, PartialAcc]]
-      def fieldAcc(f: String) = fields.getOrElseUpdate(f,
+      // per tokenized field: a TermTable (char-keyed interner + columnar
+      // accumulators — one String per (partition, term), doc flush by
+      // entry index); untokenized fields keep a small LinkedHashMap
+      // (values are few and arrive as Strings already)
+      val tokTables = Array.fill(tokenized.length)(new TermTable)
+      val untokMaps = Array.fill(untokenized.length)(
         scala.collection.mutable.LinkedHashMap.empty[String, PartialAcc])
       // reusable doc-local scratch (see DocTermScratch) + field
       // ordinals resolved ONCE (getAs(name) does a schema lookup per
       // call — per-row × per-field that is millions of needless
       // string-hash probes)
       val scratch = new DocTermScratch
-      val scratchAdd: (Array[Char], Int, Int) => Unit = scratch.addBuf
+      // one hoisted emit-callback per tokenized field (closure capture
+      // of its TermTable) — no lambda allocation per (row, field)
+      val scratchAdds: Array[(Array[Char], Int, Int) => Unit] =
+        Array.tabulate(tokenized.length) { fi =>
+          val t = tokTables(fi)
+          (buf, len, pos) => scratch.addBufInterned(buf, len, pos, t)
+        }
       var docIdOrd = -1
       var tokOrds: Array[Int] = null
       var untokOrds: Array[Int] = null
@@ -345,16 +463,15 @@ object IndexBuilder {
         val docId = row.getLong(docIdOrd)
         var fi = 0
         while (fi < tokOrds.length) {
-          val fa = fieldAcc(tokenized(fi))
+          val table = tokTables(fi)
           // doc-local (term → positions) aggregation, then one append
           // per distinct term into the partition-level columnar run
           scratch.reset()
-          analyzer.foreachEmittedBuf(row.getString(tokOrds(fi)))(scratchAdd)
+          analyzer.foreachEmittedBuf(row.getString(tokOrds(fi)))(scratchAdds(fi))
           var i = 0
           val nTerms = scratch.size
           while (i < nTerms) {
-            fa.getOrElseUpdate(scratch.term(i), new PartialAcc)
-              .add(docId, scratch.buf(i))
+            table.acc(scratch.tidx(i)).add(docId, scratch.buf(i))
             i += 1
           }
           fi += 1
@@ -363,14 +480,20 @@ object IndexBuilder {
         while (fi < untokOrds.length) {
           val v = row.getString(untokOrds(fi))
           if (v != null && v.nonEmpty)
-            fieldAcc(untokenized(fi)).getOrElseUpdate(
+            untokMaps(fi).getOrElseUpdate(
               v.toLowerCase(java.util.Locale.ROOT), new PartialAcc)
               .addSentinel(docId)
           fi += 1
         }
       }
-      fields.iterator.flatMap { case (f, terms) =>
-        terms.iterator.flatMap { case (t, acc) => emitShardRuns(f, t, acc, shardSize) }
+      // emission order = field declaration order, entries in first-
+      // occurrence-in-partition order — identical to the previous
+      // per-field LinkedHashMap iteration
+      tokenized.iterator.zip(tokTables.iterator).flatMap { case (f, tbl) =>
+        (0 until tbl.size).iterator
+          .flatMap(i => emitShardRuns(f, tbl.term(i), tbl.acc(i), shardSize))
+      } ++ untokenized.iterator.zip(untokMaps.iterator).flatMap { case (f, m) =>
+        m.iterator.flatMap { case (t, acc) => emitShardRuns(f, t, acc, shardSize) }
       }
     }.toDF("field", "term", "shard", "df", "cf", "maxTf", "blob")
   }

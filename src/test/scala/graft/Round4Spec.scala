@@ -229,6 +229,58 @@ class Round4Spec extends AnyFunSuite {
     assert(byName === byPath)
   }
 
+  test("interned DocTermScratch + TermTable ≡ LinkedHashMap partition reference") {
+    val rnd = new scala.util.Random(77)
+    val collide = Seq("Aa", "BB", "AaAa", "BBAa", "AaBB", "BBBB")
+    val vocab = (collide ++ (0 until 2000).map(i => s"id$i")).toArray
+    val scratch = new IndexBuilder.DocTermScratch
+    val table = new IndexBuilder.TermTable
+    // partition-level reference: term → (docIds, tfs, flattened positions)
+    val ref = scala.collection.mutable.LinkedHashMap
+      .empty[String, (List[Long], List[Int], List[Int])]
+    for (doc <- 1 to 60) {
+      val docId = doc.toLong * 7
+      val nTok = 1 + rnd.nextInt(2000)
+      val toks = (0 until nTok).map(_ => vocab(rnd.nextInt(vocab.length)))
+      val docRef = scala.collection.mutable.LinkedHashMap.empty[String, List[Int]]
+      scratch.reset()
+      toks.zipWithIndex.foreach { case (t, i) =>
+        val pos = i + 1
+        docRef.updateWith(t)(o => Some(o.getOrElse(Nil) :+ pos))
+        val buf = t.toCharArray
+        scratch.addBufInterned(buf, buf.length, pos, table)
+      }
+      // scratch content matches the doc-level reference
+      val got = (0 until scratch.size).map(i =>
+        scratch.term(i) -> scratch.buf(i).toArray.toList)
+      assert(got == docRef.toSeq, s"doc $doc scratch diverged")
+      // canonical identity: scratch terms ARE the table's entry strings
+      (0 until scratch.size).foreach { i =>
+        assert(scratch.term(i) eq table.term(scratch.tidx(i)))
+      }
+      // flush exactly as segmentPartials does
+      (0 until scratch.size).foreach { i =>
+        table.acc(scratch.tidx(i)).add(docId, scratch.buf(i))
+      }
+      docRef.foreach { case (t, ps) =>
+        ref.updateWith(t) { o =>
+          val (ds, ts, fl) = o.getOrElse((Nil, Nil, Nil))
+          Some((ds :+ docId, ts :+ ps.length, fl ++ ps))
+        }
+      }
+    }
+    // partition-level: same terms, same first-occurrence order, same
+    // columnar accumulation
+    assert((0 until table.size).map(table.term).toSeq === ref.keys.toSeq)
+    (0 until table.size).foreach { i =>
+      val (ds, ts, fl) = ref(table.term(i))
+      val acc = table.acc(i)
+      assert(acc.docIds.raw.take(acc.docIds.length).toList === ds)
+      assert(acc.tfs.raw.take(acc.tfs.length).toList === ts)
+      assert(acc.posFlat.raw.take(acc.posFlat.length).toList === fl)
+    }
+  }
+
   test("phrase with a term absent from the index returns empty") {
     val idx = IndexBuilder.fromCodeDocs(spark, corpus(3L, 50).toDS(),
       IndexConfig(shardSizeDocs = 32))
