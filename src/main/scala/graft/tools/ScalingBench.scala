@@ -182,7 +182,15 @@ object ScalingBench {
         "and_skew" -> (() => s.topK(Seq("import", "class"), 10, requireAll = true).collect()),
         "or_mixed" -> (() => s.topK(Seq("id17", "return", "id999"), 10).collect()),
         "wand_or" -> (() => s.topKWand(Seq("id17", "return", "id999"), 10).collect()),
-        "wand_skew" -> (() => s.topKWand(Seq("public", "import"), 10).collect()))
+        "wand_skew" -> (() => s.topKWand(Seq("public", "import"), 10).collect()),
+        // phrase: pruned positional path vs the exhaustive explode-join
+        // on the same phrases — "public class" opens every java/scala
+        // doc (common-common), "return x5" pairs a corpus-wide term
+        // with a 1-in-13 tail marker (common+rare, the pruning case)
+        "phrase_sel" -> (() => s.phraseTopK(Seq("return", "x5"), 10).collect()),
+        "phrase_skew" -> (() => s.phraseTopK(Seq("public", "class"), 10).collect()),
+        "phrase_exh_sel" -> (() => s.phraseTopKExhaustive(Seq("return", "x5"), 10).collect()),
+        "phrase_exh_skew" -> (() => s.phraseTopKExhaustive(Seq("public", "class"), 10).collect()))
       queries.map { case (name, fn) =>
         fn() // warm
         val times = (1 to reps).map { _ =>
