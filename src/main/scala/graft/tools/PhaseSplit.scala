@@ -83,11 +83,34 @@ object PhaseSplit {
     def partials = IndexBuilder.segmentPartials(
       spark, slim, Seq("content"), Seq("path", "lang"), cfg.shardSizeDocs)
 
+    // Task-metric attribution: per timed rep, aggregate executor
+    // run/CPU/GC time across all tasks. Decomposes a scaling residual
+    // into NAMED causes: (wall×cores − runTime) = scheduling/skew gap,
+    // gcTime = shared-young-gen stalls, and runTime inflation at
+    // higher thread counts with flat GC = per-thread slowdown from
+    // shared cache/memory (the work itself got slower, not the
+    // schedule).
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          runMs.addAndGet(m.executorRunTime)
+          cpuNs.addAndGet(m.executorCpuTime)
+          gcMs.addAndGet(m.jvmGCTime)
+          ()
+        }
+      }
+    })
+
     // GRAFT_PHASE_REPS > 1 repeats the timed phase inside ONE JVM
     // (write phases get a fresh output dir per rep): separates host
     // noise waves (visible as inter-rep spread) from JVM cold-start.
     val reps = sys.env.getOrElse("GRAFT_PHASE_REPS", "1").toInt
     for (_ <- 1 to reps) {
+      runMs.set(0L); cpuNs.set(0L); gcMs.set(0L)
       val out = Files.createTempDirectory("graft_phase").toString
       val t0 = System.nanoTime()
       phase match {
@@ -111,7 +134,10 @@ object PhaseSplit {
         case other => sys.error(s"unknown phase $other")
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"phase":"$phase","cpus":$cpus,"files":$numFiles,"sec":$sec%.2f}""")
+      Thread.sleep(300) // listener events are async; let the bus drain
+      println(f"""{"phase":"$phase","cpus":$cpus,"files":$numFiles,"sec":$sec%.2f,""" +
+        f""""task_run_s":${runMs.get / 1e3}%.2f,"task_cpu_s":${cpuNs.get / 1e9}%.2f,""" +
+        f""""task_gc_s":${gcMs.get / 1e3}%.2f,"slots_s":${sec * cpus}%.2f}""")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     }
     spark.stop()
