@@ -40,6 +40,7 @@ object SparkEntry {
     "fetch_docs" -> ((s, d) => E.fetchDocs(s, d)),
     "sha256_rows" -> ((s, d) => E.shaRows(s, d)),
     "match_sql" -> ((s, d) => E.matchSql(s, d)),
+    "phrase_sql" -> ((s, d) => E.phraseSql(s, d)),
     // ---- training-data pipeline ----
     "dedup_exact" -> ((s, d) => T.dedupExact(T.documents(s, d))),
     "dedup_jaccard" -> ((s, d) => T.ngramJaccardPairs(T.documents(s, d), 0.8)),

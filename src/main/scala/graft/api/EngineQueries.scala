@@ -19,21 +19,29 @@ import graft.query.{BM25, LegacyTfIdf, Searcher}
 object EngineQueries {
 
   private val cache = TrieMap.empty[String, InvertedIndex]
+  private val cacheLock = new Object
 
   /** Build (or fetch) the index over `dir`/documents.parquet.
     * doc_id is already dense in the testdata → used as docId directly;
     * the code-corpus path (IndexBuilder.fromCodeDocs) exercises the
-    * two-level dense assignment instead. */
+    * two-level dense assignment instead. First-build serialized per
+    * JVM (getOrElseUpdate's thunk is non-atomic — two concurrent first
+    * calls would both build and double-cache the Spark blocks). */
   def index(spark: SparkSession, dir: String): InvertedIndex =
-    cache.getOrElseUpdate(dir, {
-      val idx = IndexBuilder.fromText(
-        spark, TextPipeline.documents(spark, dir), "doc_id", "text",
-        untokenized = Seq("lang", "source"),
-        IndexConfig(shardSizeDocs = 1024))
-      idx.cache()
-      idx.postings.count() // materialize once
-      idx
-    })
+    cache.get(dir) match {
+      case Some(idx) => idx
+      case None => cacheLock.synchronized {
+        cache.getOrElseUpdate(dir, {
+          val idx = IndexBuilder.fromText(
+            spark, TextPipeline.documents(spark, dir), "doc_id", "text",
+            untokenized = Seq("lang", "source"),
+            IndexConfig(shardSizeDocs = 1024))
+          idx.cache()
+          idx.postings.count() // materialize once
+          idx
+        })
+      }
+    }
 
   def searcher(spark: SparkSession, dir: String): Searcher =
     new Searcher(spark, index(spark, dir))
@@ -152,6 +160,15 @@ object EngineQueries {
     }
     graft.sql.MatchQuery.register(s)
     asTopK(s.sql(s"SELECT * FROM match_query('$root', 'spark merge window', 10)"))
+  }
+
+  /** TVF phrase mode over the same persisted snapshot — exercises
+    * persist → load → SQL → pruned positional phrase end-to-end;
+    * identical oracle to phrase_bm25 (same phrase). */
+  def phraseSql(s: SparkSession, dir: String): DataFrame = {
+    matchSql(s, dir) // ensure the snapshot exists + TVF registered
+    val root = sqlRoots(dir)
+    asTopK(s.sql(s"SELECT * FROM match_query('$root', 'hash join', 10, 'phrase')"))
   }
 
   /** Multimodal plumbing demo: text → binary column → byte-level

@@ -61,6 +61,23 @@ SELECT doc_id, round(s, 4) AS score FROM scored
 ${if (requireAll) s"WHERE m = ${terms.length}" else ""}
 ORDER BY s DESC, doc_id LIMIT $k"""
 
+  /** BM25-scored phrase "hash join" (consecutive emitted positions) —
+    * shared by the Dataset phrase path and the SQL TVF phrase mode. */
+  private val phraseHashJoin: String = TOK + """
+, starts AS (
+  SELECT a.doc_id, a.pos FROM emitted a
+  JOIN emitted b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'hash' AND b.term = 'join'),
+ptf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM starts GROUP BY 1),
+pdf AS (SELECT count(*)::DOUBLE AS df FROM ptf)
+SELECT p.doc_id,
+       round(ln(1.0 + (c.n - f.df + 0.5) / (f.df + 0.5))
+             * p.tf / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl)), 4) AS score
+FROM ptf p CROSS JOIN pdf f JOIN dl d USING (doc_id) CROSS JOIN corpus c
+ORDER BY ln(1.0 + (c.n - f.df + 0.5) / (f.df + 0.5))
+         * p.tf / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl)) DESC, p.doc_id
+LIMIT 10"""
+
   val all: Map[String, String] = Map(
     "dict_terms" -> (TOK + """
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
@@ -92,6 +109,9 @@ WHERE term IN ('spark', 'merge', 'window', 'dup') GROUP BY 1"""),
     // the SQL TVF surface substitutes the SAME analyzed WAND plan →
     // rank-identical to the exhaustive oracle by construction
     "match_sql" -> bm25TopK(Seq("spark", "merge", "window"), 10, requireAll = false),
+    // the TVF's phrase mode substitutes the pruned positional plan →
+    // same oracle as phrase_bm25 (identical phrase, via SQL)
+    "phrase_sql" -> phraseHashJoin,
 
     "tfidf_legacy" -> (TOK + """
 , tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM emitted WHERE term = 'dup' GROUP BY 1),
@@ -102,20 +122,7 @@ SELECT t.doc_id,
 FROM tf t CROSS JOIN idf i
 ORDER BY (sqrt(t.tf) * i.i * i.i) * (1.0 / sqrt(i.i * i.i)) DESC, t.doc_id LIMIT 10"""),
 
-    "phrase_bm25" -> (TOK + """
-, starts AS (
-  SELECT a.doc_id, a.pos FROM emitted a
-  JOIN emitted b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-  WHERE a.term = 'hash' AND b.term = 'join'),
-ptf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM starts GROUP BY 1),
-pdf AS (SELECT count(*)::DOUBLE AS df FROM ptf)
-SELECT p.doc_id,
-       round(ln(1.0 + (c.n - f.df + 0.5) / (f.df + 0.5))
-             * p.tf / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl)), 4) AS score
-FROM ptf p CROSS JOIN pdf f JOIN dl d USING (doc_id) CROSS JOIN corpus c
-ORDER BY ln(1.0 + (c.n - f.df + 0.5) / (f.df + 0.5))
-         * p.tf / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl)) DESC, p.doc_id
-LIMIT 10"""),
+    "phrase_bm25" -> phraseHashJoin,
 
     "sort_topk" -> (TOK + bm25Scored(Seq("spark")) + """
 SELECT s.doc_id, d.lang, round(s.s, 4) AS score

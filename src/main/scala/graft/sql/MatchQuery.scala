@@ -79,19 +79,26 @@ object MatchQuery {
     val mode =
       if (args.length > 3) strArg(args, 3, "mode").toLowerCase(java.util.Locale.ROOT)
       else "or"
-    require(mode == "or" || mode == "and", s"match_query: mode must be 'or'|'and', got $mode")
-    val terms = {
+    require(mode == "or" || mode == "and" || mode == "phrase",
+      s"match_query: mode must be 'or'|'and'|'phrase', got $mode")
+    // phrase keeps the emitted slot sequence (order + duplicates);
+    // or/and deduplicate. Stop words collapse out of the phrase (the
+    // analyzer removes them before slots form) — same quirk as a
+    // Lucene PhraseQuery built on a stop-filtered token stream.
+    val slots = {
       val b = Seq.newBuilder[String]
       Analyzer.foreachEmitted(query)((t, _) => b += t)
-      b.result().distinct
+      b.result()
     }
     val df =
-      if (terms.isEmpty)
+      if (slots.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           StructType(Seq(StructField("docId", LongType), StructField("score", DoubleType))))
       else {
         val idx = indexCache.getOrElseUpdate(root, IndexTables.load(spark, root))
-        new Searcher(spark, idx).topKWand(terms, k, BM25(), requireAll = mode == "and")
+        val searcher = new Searcher(spark, idx)
+        if (mode == "phrase") searcher.phraseTopK(slots, k)
+        else searcher.topKWand(slots.distinct, k, BM25(), requireAll = mode == "and")
       }
     df.queryExecution.analyzed
   }
