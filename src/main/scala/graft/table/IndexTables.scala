@@ -29,28 +29,60 @@ object IndexTables {
     * are unchanged (each stage is still manifest-gated).
     * Returns total rows written. */
   def write(spark: SparkSession, idx: InvertedIndex, root: String): Long = {
+    // env-gated stage timing (GRAFT_WRITE_TIMING=1): attributes the
+    // full-build wall between the two chains' stages on stderr
+    val wt0 = System.nanoTime()
+    def logT(tag: String): Unit =
+      if (sys.env.contains("GRAFT_WRITE_TIMING"))
+        System.err.println(f"[write] $tag%-14s at ${(System.nanoTime() - wt0) / 1e9}%6.2f s")
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     try {
       val fDocs = pool.submit(new java.util.concurrent.Callable[TableFormat.Manifest] {
         def call(): TableFormat.Manifest = {
-          val m = TableFormat.write(spark, idx.docs, root, "docs")
           val statsPath = Paths.get(root, "stats.json")
-          if (!Files.exists(statsPath)) {
-            val docs = TableFormat.read(spark, root, "docs")
-            val r = docs.agg(count(lit(1)), avg(col("dl").cast("double"))).collect()(0)
+          val needStats = !Files.exists(statsPath)
+          // corpus stats ride the docs WRITE job as observed metrics —
+          // no second scan of the docs table (at corpus scale that
+          // second pass re-reads the whole table just for (N, avgdl)).
+          // Resume path (docs already committed → no write job runs)
+          // falls back to a dl-column-pruned scan of the stored table.
+          val obs =
+            if (needStats && !TableFormat.isCommitted(root, "docs"))
+              Some(org.apache.spark.sql.Observation())
+            else None
+          val docsDf = obs match {
+            case Some(o) => idx.docs.observe(o,
+              count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"))
+            case None => idx.docs
+          }
+          val m = TableFormat.write(spark, docsDf, root, "docs")
+          logT("docs")
+          if (needStats) {
+            val (n, avgdl) = obs match {
+              case Some(o) =>
+                val row = o.get
+                (row("n").asInstanceOf[Long],
+                  Option(row("avgdl")).map(_.asInstanceOf[Double]).getOrElse(0.0))
+              case None =>
+                val r = TableFormat.read(spark, root, "docs")
+                  .agg(count(lit(1)), avg(col("dl").cast("double"))).collect()(0)
+                (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+            }
             val tmp = Paths.get(root, "_tmp_stats.json")
             Files.writeString(tmp,
-              s"""{"numDocs":${r.getLong(0)},"avgDocLen":${if (r.isNullAt(1)) 0.0 else r.getDouble(1)},""" +
+              s"""{"numDocs":$n,"avgDocLen":$avgdl,""" +
                 s""""shardSizeDocs":${idx.config.shardSizeDocs}}""")
             Files.move(tmp, statsPath,
               java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           }
+          logT("stats.json")
           m
         }
       })
       val fPost = pool.submit(new java.util.concurrent.Callable[(TableFormat.Manifest, TableFormat.Manifest)] {
         def call(): (TableFormat.Manifest, TableFormat.Manifest) = {
           val mPost = TableFormat.write(spark, idx.postings, root, "postings")
+          logT("postings")
           val mStats = if (TableFormat.isCommitted(root, "termStats")) {
             TableFormat.readManifest(root, "termStats")
           } else {
@@ -59,6 +91,7 @@ object IndexTables {
               sum("df").as("df"), sum("cf").as("cf"), max("maxTf").as("maxTf"))
             TableFormat.write(spark, ts, root, "termStats")
           }
+          logT("termStats")
           (mPost, mStats)
         }
       })
