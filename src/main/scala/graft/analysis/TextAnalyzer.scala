@@ -47,6 +47,21 @@ trait TextAnalyzer extends Serializable {
   }
 }
 
+/** Name → analyzer registry (≙ the reference's analyzer-by-class-name
+  * config keyspace): the persisted index records its analyzer's name
+  * in stats.json and the loader resolves it here, so a reader can
+  * never silently tokenize queries with a different analyzer than the
+  * index was built with. */
+object TextAnalyzers {
+  def byName(name: String): TextAnalyzer = name match {
+    case "standard" => Analyzer
+    case "code-identifier" => CodeIdentifierAnalyzer
+    case other => sys.error(
+      s"unknown analyzer '$other' — this index was built with an analyzer " +
+        "not registered in graft.analysis.TextAnalyzers")
+  }
+}
+
 /** Code-identifier analyzer: the standard scan with two deliberate
   * differences for source-code search — underscore is a SEPARATOR
   * (`snake_case` → `snake`, `case`) and there is NO stop set (code

@@ -895,7 +895,15 @@ object IndexBuilder {
     spark.read.parquet(path)
       .withColumn("_graft_file", col("_metadata.file_name"))
       .withColumn("_graft_ridx", col("_metadata.row_index"))
-      .join(broadcast(offsetsDf), Seq("_graft_file"))
+      // LEFT join + raise_error, not inner: an inner join would
+      // silently DROP every row of a file absent from the manifest (a
+      // stale listing builds a smaller index with no signal); the
+      // closure-map UDF this replaced failed loudly, and so does this
+      .join(broadcast(offsetsDf), Seq("_graft_file"), "left_outer")
+      .withColumn("_graft_base",
+        when(col("_graft_base").isNull, raise_error(concat(
+          lit("parquet file missing from the docID manifest: "),
+          col("_graft_file")))).otherwise(col("_graft_base")))
       .withColumn("docKey",
         concat_ws("", col("repo"), lit("/"), col("path"), lit("@"), col("commit")))
       .withColumn("docId", col("_graft_base") + col("_graft_ridx"))

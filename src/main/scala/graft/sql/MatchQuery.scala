@@ -9,7 +9,6 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.analysis.Analyzer
 import graft.build.InvertedIndex
 import graft.query.{BM25, Searcher}
 import graft.table.IndexTables
@@ -70,7 +69,7 @@ object MatchQuery {
 
   private def build(args: Seq[Expression]): LogicalPlan = {
     require(args.length >= 3 && args.length <= 4,
-      "usage: match_query(root, query, k[, 'or'|'and'])")
+      "usage: match_query(root, query, k[, 'or'|'and'|'phrase'])")
     val spark = SparkSession.active
     val rootArg = strArg(args, 0, "root")
     val root = catalog.getOrElse(rootArg, rootArg)
@@ -81,13 +80,19 @@ object MatchQuery {
       else "or"
     require(mode == "or" || mode == "and" || mode == "phrase",
       s"match_query: mode must be 'or'|'and'|'phrase', got $mode")
-    // phrase keeps the emitted slot sequence (order + duplicates);
-    // or/and deduplicate. Stop words collapse out of the phrase (the
+    // The query text is tokenized with the analyzer the index was
+    // BUILT with (restored from the snapshot's stats.json) — a
+    // mismatched analyzer silently mis-tokenizes queries (e.g. the
+    // standard analyzer keeps `snake_case` whole while a
+    // code-identifier index only holds `snake`/`case`). phrase keeps
+    // the emitted slot sequence (order + duplicates); or/and
+    // deduplicate. Stop words collapse out of the phrase (the
     // analyzer removes them before slots form) — same quirk as a
     // Lucene PhraseQuery built on a stop-filtered token stream.
+    val idx = indexCache.getOrElseUpdate(root, IndexTables.load(spark, root))
     val slots = {
       val b = Seq.newBuilder[String]
-      Analyzer.foreachEmitted(query)((t, _) => b += t)
+      idx.config.analyzer.foreachEmitted(query)((t, _) => b += t)
       b.result()
     }
     val df =
@@ -95,7 +100,6 @@ object MatchQuery {
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           StructType(Seq(StructField("docId", LongType), StructField("score", DoubleType))))
       else {
-        val idx = indexCache.getOrElseUpdate(root, IndexTables.load(spark, root))
         val searcher = new Searcher(spark, idx)
         if (mode == "phrase") searcher.phraseTopK(slots, k)
         else searcher.topKWand(slots.distinct, k, BM25(), requireAll = mode == "and")

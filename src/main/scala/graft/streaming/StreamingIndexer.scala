@@ -44,6 +44,17 @@ object StreamingIndexer {
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
         val spark = batch.sparkSession
+        // batch ids at or below the prune watermark were DELETED as
+        // compaction-covered; a restarted ingest with a fresh
+        // checkpoint restarts batchId at 0 and would silently write
+        // segments every load path ignores and the next prune removes
+        prunedThrough(root).foreach { w =>
+          require(batchId > w,
+            s"batchId $batchId at index root $root is not above the prune " +
+              s"watermark $w — segments with these ids were already compacted " +
+              "and deleted. Resume with the ORIGINAL checkpoint (ids continue " +
+              "monotonically) or ingest into a fresh index root.")
+        }
         writeIngestConfig(root, cfg)
         val idx = IndexBuilder.fromText(spark, batch, idCol, textCol,
           untokenized, cfg)
@@ -110,6 +121,37 @@ object StreamingIndexer {
     finally s.close()
   }
 
+  /** Batch ids with BOTH docs and postings manifests committed. A
+    * crash between a batch's two table writes (the sequential window
+    * in `writer`) leaves a HALF segment: no load or compaction may
+    * consume it — replaying the batch completes it first (streaming
+    * processes batches in order, so a later batch cannot commit while
+    * an earlier one is half-written). */
+  def completeBatches(root: String): Seq[Long] = {
+    val d = segmentTables(root, "docs-b").map(_.stripPrefix("docs-b").toLong).toSet
+    val po = segmentTables(root, "postings-b")
+      .map(_.stripPrefix("postings-b").toLong).toSet
+    d.intersect(po).toSeq.sorted
+  }
+
+  private def prunedThrough(root: String): Option[Long] = {
+    val p = Paths.get(root, "pruned_watermark.json")
+    if (!Files.exists(p)) None
+    else "\"prunedThrough\":([0-9]+)".r
+      .findFirstMatchIn(Files.readString(p)).map(_.group(1).toLong)
+  }
+
+  private def writePrunedThrough(root: String, n: Long): Unit = {
+    val cur = prunedThrough(root).getOrElse(-1L)
+    if (n > cur) {
+      val tmp = Paths.get(root, s"_tmp_pruned_${System.nanoTime()}.json")
+      Files.writeString(tmp, s"""{"prunedThrough":$n}""")
+      Files.move(tmp, Paths.get(root, "pruned_watermark.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+  }
+
   /** Compact all committed segment snapshots into ONE persisted
     * docs/postings/termStats/stats snapshot set under
     * `root/compacted-<latestBatch>` (the reference's segment merge /
@@ -128,8 +170,7 @@ object StreamingIndexer {
     // the same segment set is an idempotent no-op (manifest-gated),
     // while new batches produce a FRESH compaction instead of silently
     // returning the stale one
-    val segs = segmentTables(root, "postings-b").map(_.stripPrefix("postings-b").toLong)
-    val latest = (latestCompaction(root).toSeq ++ segs).max
+    val latest = (latestCompaction(root).toSeq ++ completeBatches(root)).max
     val out = s"$root/compacted-$latest"
     graft.table.IndexTables.write(spark, merged, out)
     graft.table.IndexTables.load(spark, out)
@@ -167,11 +208,18 @@ object StreamingIndexer {
     latestCompaction(root) match {
       case None => Seq.empty
       case Some(n) =>
+        // watermark FIRST (atomic): from here on, writers reject
+        // recycled batch ids ≤ n even if this prune crashes mid-delete
+        writePrunedThrough(root, n)
+        // only COMPLETE batches are deleted — the compaction consumed
+        // exactly those; a half segment (docs committed, postings
+        // crashed) stays until its batch replays and completes
+        val complete = completeBatches(root).filter(_ <= n).toSet
         val pruned = for {
           prefix <- Seq("docs-b", "postings-b")
           tbl <- segmentTables(root, prefix)
           id = tbl.stripPrefix(prefix).toLong
-          if id <= n
+          if complete.contains(id)
         } yield {
           val manifest = Paths.get(root, s"$tbl.manifest.json")
           val dataDirs = {
@@ -200,6 +248,20 @@ object StreamingIndexer {
           }.toSeq
           finally s2.close()
         orphans.foreach(deleteRecursively)
+        // superseded compactions: every compacted-M with M < n is a
+        // full index copy the newest compaction replaces — without
+        // this, each compact cycle leaks O(index size) on disk. The
+        // newest complete compaction is never touched, so a crash mid-
+        // delete cannot change what latestCompaction resolves to.
+        val s3 = Files.list(Paths.get(root))
+        val oldCompactions =
+          try s3.iterator().asScala.filter { p =>
+            val name = p.getFileName.toString
+            name.startsWith("compacted-") &&
+              name.stripPrefix("compacted-").toLong < n
+          }.toSeq
+          finally s3.close()
+        oldCompactions.foreach(deleteRecursively)
         pruned.distinct.sorted
     }
 
@@ -226,17 +288,18 @@ object StreamingIndexer {
     val compacted = latestCompaction(root)
     val base = compacted.map(n => s"$root/compacted-$n")
     val minBatch = compacted.map(_ + 1).getOrElse(0L)
-    def newer(prefix: String): Seq[String] =
-      segmentTables(root, prefix)
-        .filter(_.stripPrefix(prefix).toLong >= minBatch)
-    val docTables = newer("docs-b")
-    require(docTables.nonEmpty || base.nonEmpty,
+    // only COMPLETE batches merge — a half-written segment (docs
+    // committed, postings crashed mid-batch) must not contribute its
+    // docs: they would double-count once the batch replays or be
+    // phantom rows with no postings otherwise
+    val newer = completeBatches(root).filter(_ >= minBatch)
+    require(newer.nonEmpty || base.nonEmpty,
       s"no committed segments under $root")
     val docParts = base.map(TableFormat.read(spark, _, "docs")).toSeq ++
-      docTables.map(TableFormat.read(spark, root, _))
+      newer.map(id => TableFormat.read(spark, root, s"docs-b$id"))
     val docs = docParts.reduce(_ union _)
     val postParts = base.map(TableFormat.read(spark, _, "postings")).toSeq ++
-      newer("postings-b").map(TableFormat.read(spark, root, _))
+      newer.map(id => TableFormat.read(spark, root, s"postings-b$id"))
     val partials = postParts.reduce(_ union _)
     val postings = IndexBuilder.mergeSegmentRows(partials, effCfg)
     val termStats = postings.groupBy("field", "term").agg(

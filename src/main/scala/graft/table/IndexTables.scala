@@ -71,7 +71,8 @@ object IndexTables {
             val tmp = Paths.get(root, "_tmp_stats.json")
             Files.writeString(tmp,
               s"""{"numDocs":$n,"avgDocLen":$avgdl,""" +
-                s""""shardSizeDocs":${idx.config.shardSizeDocs}}""")
+                s""""shardSizeDocs":${idx.config.shardSizeDocs},""" +
+                s""""analyzer":"${idx.config.analyzer.name}"}""")
             Files.move(tmp, statsPath,
               java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           }
@@ -106,11 +107,18 @@ object IndexTables {
     val num = "\"numDocs\":([0-9]+)".r.findFirstMatchIn(txt).get.group(1).toLong
     val avg = "\"avgDocLen\":([0-9.Ee+-]+)".r.findFirstMatchIn(txt).get.group(1).toDouble
     val shard = "\"shardSizeDocs\":([0-9]+)".r.findFirstMatchIn(txt).get.group(1).toLong
+    // the analyzer the index was BUILT with is part of the snapshot:
+    // a reader tokenizing queries with a different analyzer gets
+    // silently wrong/empty matches (pre-round-4 snapshots carry no
+    // field → standard, the only analyzer that existed then)
+    val analyzer = "\"analyzer\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+      .map(m => graft.analysis.TextAnalyzers.byName(m.group(1)))
+      .getOrElse(graft.analysis.Analyzer)
     InvertedIndex(
       TableFormat.read(spark, root, "docs"),
       TableFormat.read(spark, root, "postings"),
       TableFormat.read(spark, root, "termStats"),
       CorpusStats(num, avg),
-      IndexConfig(shardSizeDocs = shard))
+      IndexConfig(shardSizeDocs = shard, analyzer = analyzer))
   }
 }

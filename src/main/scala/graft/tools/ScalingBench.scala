@@ -55,7 +55,10 @@ object ScalingBench {
     sys.env.get("GRAFT_EXEC_CLASSPATH")
       .orElse(System.getProperty("java.class.path")
         .split(java.io.File.pathSeparator)
-        .find(p => p.endsWith("classes") && p.contains("target")))
+        // the segment must BE "classes" — endsWith("classes") alone
+        // also matches target/scala-2.13/test-classes
+        .find(p => p.endsWith(java.io.File.separator + "classes")
+          && p.contains("target")))
       .getOrElse("/root/repo/target/scala-2.13/classes")
 
   private def session(cpus: Int): SparkSession = {

@@ -281,6 +281,53 @@ class Round4Spec extends AnyFunSuite {
     }
   }
 
+  test("persisted analyzer identity: match_query tokenizes with the index's analyzer") {
+    import graft.analysis.CodeIdentifierAnalyzer
+    val dir = java.nio.file.Files.createTempDirectory("graft_r4_anlz").toString
+    val docs = Seq((0L, "def snake_case(x): pass"), (1L, "for item in collection"))
+      .toDF("doc_id", "text")
+    val idx = IndexBuilder.fromText(spark, docs, "doc_id", "text", Nil,
+      IndexConfig(shardSizeDocs = 64, analyzer = CodeIdentifierAnalyzer))
+    graft.table.IndexTables.write(spark, idx, dir)
+    val loaded = graft.table.IndexTables.load(spark, dir)
+    assert(loaded.config.analyzer eq CodeIdentifierAnalyzer)
+    graft.sql.MatchQuery.register(spark)
+    // 'snake_case' must split with the INDEX's analyzer → doc 0 found;
+    // 'for' is a stopword only to the standard analyzer → doc 1 found
+    assert(spark.sql(s"SELECT * FROM match_query('$dir', 'snake_case', 5)")
+      .collect().map(_.getLong(0)).toSet === Set(0L))
+    assert(spark.sql(s"SELECT * FROM match_query('$dir', 'for', 5)")
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+  }
+
+  test("stale docID manifest fails loudly instead of silently dropping rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r4_stale").toString
+    corpus(31L, 100).toDF().repartition(4).write.mode("overwrite").parquet(dir)
+    val files = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSeq.sorted
+      } finally s.close()
+    }
+    val counts = files.map(f => f -> spark.read.parquet(s"$dir/$f").count())
+    // full manifest: fine
+    assert(graft.build.IndexBuilder.tableWithIds(spark, dir, counts)
+      .select("docId").distinct().count() === 100L)
+    // manifest missing one file: must raise when docIds are computed,
+    // not shrink the index (count(*) alone prunes the docId projection
+    // away — the build always computes docId, so the guard fires there)
+    val ex = intercept[Exception] {
+      graft.build.IndexBuilder.tableWithIds(spark, dir, counts.tail)
+        .select("docId").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("missing from the docID manifest")),
+      msgs(ex).mkString(" | "))
+  }
+
   test("phrase with a term absent from the index returns empty") {
     val idx = IndexBuilder.fromCodeDocs(spark, corpus(3L, 50).toDS(),
       IndexConfig(shardSizeDocs = 32))

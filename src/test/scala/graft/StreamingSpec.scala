@@ -158,6 +158,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(StreamingIndexer.loadMerged(spark, root, cfg).stats.numDocs === 100)
   }
 
+  test("half-written segments are invisible; prune reclaims old compactions; watermark blocks recycled ids") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_half").toString
+    val cfg = IndexConfig(shardSizeDocs = 32)
+    def mkIdx(range: Range) = IndexBuilder.fromText(spark,
+      range.map(i => mkDoc(i.toLong)).toDF("doc_id", "text"), "doc_id", "text", Nil, cfg)
+    def writeSeg(id: Long, range: Range): Unit = {
+      val idx = mkIdx(range)
+      graft.table.TableFormat.write(spark, idx.docs, root, s"docs-b$id", id + 1)
+      graft.table.TableFormat.write(spark, idx.postings, root, s"postings-b$id", id + 1)
+    }
+    writeSeg(0L, 0 until 40)
+    // half batch: docs committed, postings write "crashed"
+    val half = mkIdx(40 until 60)
+    graft.table.TableFormat.write(spark, half.docs, root, "docs-b1", 2L)
+    assert(StreamingIndexer.completeBatches(root) === Seq(0L))
+    // loadMerged must NOT count the half batch's docs
+    assert(StreamingIndexer.loadMerged(spark, root, cfg).stats.numDocs === 40)
+    // compact bakes only complete batches and names itself by them
+    StreamingIndexer.compact(spark, root, cfg)
+    assert(StreamingIndexer.latestCompaction(root) === Some(0L))
+    // complete the half batch (replay), compact again, prune
+    graft.table.TableFormat.write(spark, half.postings, root, "postings-b1", 2L)
+    assert(StreamingIndexer.loadMerged(spark, root, cfg).stats.numDocs === 60)
+    StreamingIndexer.compact(spark, root, cfg)
+    StreamingIndexer.pruneSegments(root)
+    // superseded compacted-0 reclaimed, compacted-1 intact
+    assert(!Files.exists(java.nio.file.Paths.get(root, "compacted-0")))
+    assert(StreamingIndexer.latestCompaction(root) === Some(1L))
+    assert(StreamingIndexer.loadMerged(spark, root, cfg).stats.numDocs === 60)
+
+    // watermark: a fresh-checkpoint restart recycles batchId 0 — the
+    // writer must reject it instead of writing a doomed segment
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val ckpt = Files.createTempDirectory("graft_half_ckpt").toString
+    val q = StreamingIndexer.writer(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", Nil, root, cfg)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData(Seq((100L, "alpha beta")))
+      val ex = intercept[Exception](q.processAllAvailable())
+      assert(ex.getMessage.contains("prune watermark")
+        || Option(ex.getCause).exists(_.getMessage.contains("prune watermark")))
+    } finally q.stop()
+  }
+
   test("streaming first-seen dedup keeps one row per content hash across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
