@@ -13,12 +13,13 @@ import graft.build.InvertedIndex
 import graft.query.{BM25, Searcher}
 import graft.table.IndexTables
 
-/** `match_query('<index root>', '<free text>', k [, 'or'|'and'])` —
-  * the SQL surface of the search engine (SURVEY.md §7.3 phase 3): a
-  * table-valued function that tokenizes the query text with the
-  * engine analyzer, runs block-max WAND top-k over the persisted
-  * index at `root`, and exposes the hits as a relation
-  * (docId BIGINT, score DOUBLE).
+/** `match_query('<root or registered name>', '<free text>', k
+  * [, 'or'|'and'|'phrase'])` — the SQL surface of the search engine
+  * (SURVEY.md §7.3 phase 3): a table-valued function that tokenizes
+  * the query text with the analyzer the index was BUILT with
+  * (restored from its snapshot), runs block-max WAND top-k — or the
+  * pruned positional phrase plan — over the persisted index, and
+  * exposes the hits as a relation (docId BIGINT, score DOUBLE).
   *
   * The TVF builder substitutes the ANALYZED WAND plan directly into
   * the query tree — Catalyst then optimizes and plans it like any
@@ -111,7 +112,8 @@ object MatchQuery {
     FunctionIdentifier("match_query"),
     new ExpressionInfo("graft.sql.MatchQuery", null, "match_query",
       "match_query(root, query, k[, mode]) - BM25 block-max-WAND top-k " +
-        "over the persisted index at root; mode 'or' (default) or 'and'", ""),
+        "over the persisted index at root; mode 'or' (default), 'and' " +
+        "or 'phrase'", ""),
     (args: Seq[Expression]) => build(args))
 
   /** Imperative registration on an existing session. */
