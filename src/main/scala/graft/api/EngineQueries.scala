@@ -141,11 +141,9 @@ object EngineQueries {
     ()
   }
 
-  /** The SQL table-function surface: `SELECT * FROM match_query(root,
-    * text, k)` over a PERSISTED index snapshot. Rank-identical to
-    * `bm25Wand` by construction (the TVF substitutes the same WAND
-    * plan), but exercises the full persist → load → SQL path. */
-  def matchSql(s: SparkSession, dir: String): DataFrame = {
+  /** Persisted snapshot root for `dir` (written on first use) with
+    * the TVF registered — shared by every SQL-surface query. */
+  private def ensureSqlRoot(s: SparkSession, dir: String): String = {
     val root = sqlRoots.get(dir) match {
       case Some(r) => r
       case None => sqlRootsLock.synchronized {
@@ -159,6 +157,15 @@ object EngineQueries {
       }
     }
     graft.sql.MatchQuery.register(s)
+    root
+  }
+
+  /** The SQL table-function surface: `SELECT * FROM match_query(root,
+    * text, k)` over a PERSISTED index snapshot. Rank-identical to
+    * `bm25Wand` by construction (the TVF substitutes the same WAND
+    * plan), but exercises the full persist → load → SQL path. */
+  def matchSql(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureSqlRoot(s, dir)
     asTopK(s.sql(s"SELECT * FROM match_query('$root', 'spark merge window', 10)"))
   }
 
@@ -166,8 +173,7 @@ object EngineQueries {
     * persist → load → SQL → pruned positional phrase end-to-end;
     * identical oracle to phrase_bm25 (same phrase). */
   def phraseSql(s: SparkSession, dir: String): DataFrame = {
-    matchSql(s, dir) // ensure the snapshot exists + TVF registered
-    val root = sqlRoots(dir)
+    val root = ensureSqlRoot(s, dir)
     asTopK(s.sql(s"SELECT * FROM match_query('$root', 'hash join', 10, 'phrase')"))
   }
 

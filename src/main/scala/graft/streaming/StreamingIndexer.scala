@@ -48,9 +48,14 @@ object StreamingIndexer {
         // compaction-covered; a restarted ingest with a fresh
         // checkpoint restarts batchId at 0 and would silently write
         // segments every load path ignores and the next prune removes
+        // batchId == w is the legitimate at-least-once window (segments
+        // committed, checkpoint offset not — the replayed write lands
+        // below minBatch and the next prune sweeps it); only ids
+        // STRICTLY below the watermark indicate a fresh-checkpoint
+        // restart recycling pruned ids
         prunedThrough(root).foreach { w =>
-          require(batchId > w,
-            s"batchId $batchId at index root $root is not above the prune " +
+          require(batchId >= w,
+            s"batchId $batchId at index root $root is below the prune " +
               s"watermark $w — segments with these ids were already compacted " +
               "and deleted. Resume with the ORIGINAL checkpoint (ids continue " +
               "monotonically) or ingest into a fresh index root.")
@@ -74,28 +79,46 @@ object StreamingIndexer {
     * width would mismatch the persisted one and mis-prune/mis-score
     * queries silently. */
   private def writeIngestConfig(root: String, cfg: IndexConfig): Unit =
-    readIngestShardSize(root) match {
-      case Some(existing) =>
-        require(existing == cfg.shardSizeDocs,
-          s"index at $root was ingested with shardSizeDocs=$existing but this " +
+    readIngestConfig(root) match {
+      case Some((shard, analyzerName)) =>
+        require(shard == cfg.shardSizeDocs,
+          s"index at $root was ingested with shardSizeDocs=$shard but this " +
             s"run was configured with ${cfg.shardSizeDocs}; mixed shard widths " +
             "corrupt WAND/dl pruning — reuse the original width or a fresh root")
+        // mixed analyzers across segments tokenize the SAME text
+        // differently — queries could never match all segments at once
+        analyzerName.foreach { a =>
+          require(a == cfg.analyzer.name,
+            s"index at $root was ingested with analyzer '$a' but this run " +
+              s"was configured with '${cfg.analyzer.name}'; mixed analyzers " +
+              "produce incompatible token streams — reuse the original " +
+              "analyzer or a fresh root")
+        }
       case None =>
         val p = Paths.get(root, "ingest_config.json")
         Files.createDirectories(Paths.get(root))
         val tmp = Paths.get(root, s"_tmp_ingest_config_${System.nanoTime()}.json")
-        Files.writeString(tmp, s"""{"shardSizeDocs":${cfg.shardSizeDocs}}""")
+        Files.writeString(tmp,
+          s"""{"shardSizeDocs":${cfg.shardSizeDocs},""" +
+            s""""analyzer":"${cfg.analyzer.name}"}""")
         try Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         catch { case _: java.nio.file.FileAlreadyExistsException =>
           Files.deleteIfExists(tmp); ()
         }
     }
 
-  private def readIngestShardSize(root: String): Option[Long] = {
+  /** (shardSizeDocs, analyzer name) from ingest_config.json; analyzer
+    * is None for pre-round-4 roots (standard was the only analyzer). */
+  private def readIngestConfig(root: String): Option[(Long, Option[String])] = {
     val p = Paths.get(root, "ingest_config.json")
     if (!Files.exists(p)) None
-    else "\"shardSizeDocs\":([0-9]+)".r
-      .findFirstMatchIn(Files.readString(p)).map(_.group(1).toLong)
+    else {
+      val txt = Files.readString(p)
+      "\"shardSizeDocs\":([0-9]+)".r.findFirstMatchIn(txt).map { m =>
+        (m.group(1).toLong,
+          "\"analyzer\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1)))
+      }
+    }
   }
 
   def start(
@@ -146,7 +169,11 @@ object StreamingIndexer {
     if (n > cur) {
       val tmp = Paths.get(root, s"_tmp_pruned_${System.nanoTime()}.json")
       Files.writeString(tmp, s"""{"prunedThrough":$n}""")
+      // same-directory atomic rename, like every other JSON commit
+      // here — a REPLACE_EXISTING copy could be observed half-written,
+      // silently bypassing the recycled-id guard
       Files.move(tmp, Paths.get(root, "pruned_watermark.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       ()
     }
@@ -283,8 +310,11 @@ object StreamingIndexer {
     * silently mis-prune the query paths. */
   def loadMerged(spark: SparkSession, root: String,
       cfg: IndexConfig = IndexConfig()): InvertedIndex = {
-    val effCfg = readIngestShardSize(root)
-      .map(s => cfg.copy(shardSizeDocs = s)).getOrElse(cfg)
+    val effCfg = readIngestConfig(root).map { case (shard, analyzerName) =>
+      cfg.copy(shardSizeDocs = shard,
+        analyzer = analyzerName.map(graft.analysis.TextAnalyzers.byName)
+          .getOrElse(cfg.analyzer))
+    }.getOrElse(cfg)
     val compacted = latestCompaction(root)
     val base = compacted.map(n => s"$root/compacted-$n")
     val minBatch = compacted.map(_ + 1).getOrElse(0L)

@@ -58,15 +58,19 @@ object IndexTables {
           val m = TableFormat.write(spark, docsDf, root, "docs")
           logT("docs")
           if (needStats) {
-            val (n, avgdl) = obs match {
-              case Some(o) =>
-                val row = o.get
-                (row("n").asInstanceOf[Long],
-                  Option(row("avgdl")).map(_.asInstanceOf[Double]).getOrElse(0.0))
-              case None =>
-                val r = TableFormat.read(spark, root, "docs")
-                  .agg(count(lit(1)), avg(col("dl").cast("double"))).collect()(0)
-                (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+            // observed metrics can overcount under speculative/retried
+            // tasks (accumulator semantics); the manifest rowCount from
+            // the committed parquet footers is EXACT — trust the
+            // observation only when its count matches, else rescan
+            val observed = obs.map { o =>
+              val row = o.get
+              (row("n").asInstanceOf[Long],
+                Option(row("avgdl")).map(_.asInstanceOf[Double]).getOrElse(0.0))
+            }.filter(_._1 == m.rowCount)
+            val (n, avgdl) = observed.getOrElse {
+              val r = TableFormat.read(spark, root, "docs")
+                .agg(count(lit(1)), avg(col("dl").cast("double"))).collect()(0)
+              (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
             }
             val tmp = Paths.get(root, "_tmp_stats.json")
             Files.writeString(tmp,

@@ -134,7 +134,18 @@ object PhaseSplit {
         case other => sys.error(s"unknown phase $other")
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // listener events are async; let the bus drain
+      // listener events are async and the bus is not publicly
+      // flushable — poll until the counters stop moving (bounded), so
+      // stragglers land in THIS rep's totals, not the next one's
+      var prev = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 5000) {
+        val cur = runMs.get + cpuNs.get + gcMs.get
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        Thread.sleep(100)
+        waited += 100
+      }
       println(f"""{"phase":"$phase","cpus":$cpus,"files":$numFiles,"sec":$sec%.2f,""" +
         f""""task_run_s":${runMs.get / 1e3}%.2f,"task_cpu_s":${cpuNs.get / 1e9}%.2f,""" +
         f""""task_gc_s":${gcMs.get / 1e3}%.2f,"slots_s":${sec * cpus}%.2f}""")

@@ -207,6 +207,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingest analyzer is persisted; a mismatched restart fails fast; compaction restores it") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_anlz_stream").toString
+    val codeCfg = IndexConfig(shardSizeDocs = 32,
+      analyzer = graft.analysis.CodeIdentifierAnalyzer)
+    val idx = IndexBuilder.fromText(spark,
+      Seq((0L, "def snake_case(): pass")).toDF("doc_id", "text"),
+      "doc_id", "text", Nil, codeCfg)
+    // simulate one committed ingest batch with the code analyzer
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = StreamingIndexer.writer(in1.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", Nil, root, codeCfg)
+      .option("checkpointLocation", Files.createTempDirectory("graft_ck1").toString)
+      .start()
+    try { in1.addData(Seq((0L, "def snake_case(): pass"))); q1.processAllAvailable() }
+    finally q1.stop()
+    // restart with the DEFAULT analyzer → must fail fast, not mix streams
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = StreamingIndexer.writer(in2.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", Nil, root, IndexConfig(shardSizeDocs = 32))
+      .option("checkpointLocation", Files.createTempDirectory("graft_ck2").toString)
+      .start()
+    try {
+      in2.addData(Seq((1L, "more text")))
+      val ex = intercept[Exception](q2.processAllAvailable())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("analyzer")), msgs(ex).mkString(" | "))
+    } finally q2.stop()
+    // loadMerged + compaction carry the code analyzer through to the snapshot
+    assert(StreamingIndexer.loadMerged(spark, root).config.analyzer
+      eq graft.analysis.CodeIdentifierAnalyzer)
+    StreamingIndexer.compact(spark, root, codeCfg)
+    val n = StreamingIndexer.latestCompaction(root).get
+    val loaded = graft.table.IndexTables.load(spark, s"$root/compacted-$n")
+    assert(loaded.config.analyzer eq graft.analysis.CodeIdentifierAnalyzer)
+    assert(idx.termStats.select("term").collect().map(_.getString(0)).toSet
+      .subsetOf(loaded.termStats.select("term").collect().map(_.getString(0)).toSet
+        ++ Set("snake", "case", "def", "pass")))
+  }
+
   test("streaming first-seen dedup keeps one row per content hash across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
