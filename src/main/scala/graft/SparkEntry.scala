@@ -53,6 +53,7 @@ object SparkEntry {
       T.dedupGroupsFromPairs(docs, T.ngramJaccardPairs(docs, 0.8))
     }),
     "embed_knn" -> ((s, d) => T.cosineTopK(T.embeddings(s, d), 0L, 10)),
+    "hybrid_topk" -> ((s, d) => E.hybridTopK(s, d)),
     "embed_lsh_buckets" -> ((s, d) => T.lshBuckets(T.embeddings(s, d))),
     "embed_dup_pairs" -> ((s, d) => T.embedCosinePairs(T.embeddings(s, d), 0.4)),
     "embed_ivf_knn" -> ((s, d) => T.ivfTopK(T.embeddings(s, d), 0L, 5)),

@@ -177,6 +177,21 @@ object EngineQueries {
     asTopK(s.sql(s"SELECT * FROM match_query('$root', 'hash join', 10, 'phrase')"))
   }
 
+  /** Hybrid retrieval: BM25 lexical candidates re-weighted by cosine
+    * to a query embedding (vec 0, the embed_knn probe), score =
+    * bm25 + 0.5·cos — exercises the lexical/semantic fusion path
+    * end-to-end with an independent oracle. */
+  def hybridTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = TextPipeline.embeddings(s, dir)
+    val q = emb.where(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val scored = searcher(s, dir).scoredDocs(Seq("spark", "merge"))
+      .select(col("docId"), col("score"))
+    TextPipeline.hybridTopK(scored, emb, q, alpha = 0.5, k = 10)
+      .select(col("docId").cast("long").as("doc_id"),
+        round(col("hybrid"), 4).as("score"))
+  }
+
   /** Multimodal plumbing demo: text → binary column → byte-level
     * metadata (frame count at 64-byte frames, header byte). The real
     * decode step is environment-stubbed (no image/audio libs in this

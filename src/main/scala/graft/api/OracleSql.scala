@@ -113,6 +113,29 @@ WHERE term IN ('spark', 'merge', 'window', 'dup') GROUP BY 1"""),
     // same oracle as phrase_bm25 (identical phrase, via SQL)
     "phrase_sql" -> phraseHashJoin,
 
+    // hybrid retrieval: BM25 candidates + 0.5 × cosine(vec 0), cosine
+    // rounded to 3 before blending (embed-oracle float contract)
+    "hybrid_topk" -> (TOK + bm25Scored(Seq("spark", "merge")) + """
+, q AS (
+  SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id = 0),
+e AS (
+  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+dots AS (
+  SELECT e.vec_id,
+         sum(e.v::DOUBLE * q.qv::DOUBLE) AS dot,
+         sum(e.v::DOUBLE * e.v::DOUBLE) AS na
+  FROM e JOIN q USING (i) GROUP BY 1),
+qn AS (SELECT sqrt(sum(qv::DOUBLE * qv::DOUBLE)) AS nq FROM q),
+cosv AS (
+  SELECT vec_id AS doc_id, round(dot / (sqrt(na) * nq), 3) AS cos
+  FROM dots CROSS JOIN qn)
+SELECT s.doc_id, round(s.s + 0.5 * coalesce(c.cos, 0.0), 4) AS score
+FROM scored s LEFT JOIN cosv c USING (doc_id)
+ORDER BY s.s + 0.5 * coalesce(c.cos, 0.0) DESC, s.doc_id
+LIMIT 10"""),
+
     "tfidf_legacy" -> (TOK + """
 , tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM emitted WHERE term = 'dup' GROUP BY 1),
 dfq AS (SELECT count(*)::DOUBLE AS df FROM (SELECT DISTINCT doc_id FROM emitted WHERE term = 'dup')),
