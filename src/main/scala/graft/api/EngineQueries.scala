@@ -183,13 +183,10 @@ object EngineQueries {
     * end-to-end with an independent oracle. */
   def hybridTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = TextPipeline.embeddings(s, dir)
-    val q = emb.where(col("vec_id") === 0L).select("embedding")
-      .head().getSeq[Float](0).map(_.toDouble).toArray
     val scored = searcher(s, dir).scoredDocs(Seq("spark", "merge"))
       .select(col("docId"), col("score"))
-    TextPipeline.hybridTopK(scored, emb, q, alpha = 0.5, k = 10)
-      .select(col("docId").cast("long").as("doc_id"),
-        round(col("hybrid"), 4).as("score"))
+    asTopK(TextPipeline.hybridTopK(
+      scored, emb, TextPipeline.queryVec(emb, 0L), alpha = 0.5, k = 10))
   }
 
   /** Multimodal plumbing demo: text → binary column → byte-level

@@ -328,6 +328,38 @@ class Round4Spec extends AnyFunSuite {
       msgs(ex).mkString(" | "))
   }
 
+  test("hybridTopK blends BM25 and cosine with hand-computed reference; degenerate vectors rank last") {
+    import graft.pipeline.TextPipeline
+    val scored = Seq((0L, 2.0), (1L, 1.5), (2L, 1.4), (3L, 3.0))
+      .toDF("docId", "score")
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), // cos vs q(1,0) = 1.0
+      (1L, Seq(0.0f, 1.0f)), // cos = 0.0
+      (2L, Seq(1.0f, 1.0f)), // cos = 0.707
+      (3L, Seq(0.0f, 0.0f)), // zero norm → cosine 0 (NOT NaN-on-top)
+      (9L, Seq(9.0f, 9.0f))) // not a candidate — must not appear
+      .toDF("vec_id", "embedding")
+    val q = Array(1.0, 0.0)
+    val got = TextPipeline.hybridTopK(scored, emb, q, alpha = 0.5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // expected blends: 0 → 2.0+0.5·1.0=2.5; 1 → 1.5; 2 → 1.4+0.5·0.707=1.7535;
+    // 3 → 3.0+0 (zero-norm cosine coalesces to 0, keeps its lexical rank)
+    assert(got.map(_._1).toSeq === Seq(3L, 0L, 2L, 1L))
+    val byId = got.toMap
+    assert(math.abs(byId(0L) - 2.5) < 1e-9)
+    assert(math.abs(byId(2L) - (1.4 + 0.5 * 0.707)) < 1e-9)
+    assert(math.abs(byId(3L) - 3.0) < 1e-9)
+    // alpha matters: alpha=0 reduces to the lexical order
+    val lex = TextPipeline.hybridTopK(scored, emb, q, alpha = 0.0, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(lex === Seq(3L, 0L, 1L, 2L))
+    // candidate without any embedding row keeps its lexical score
+    val got2 = TextPipeline.hybridTopK(
+      scored.union(Seq((7L, 2.2)).toDF("docId", "score")), emb, q, 0.5, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(math.abs(got2(7L) - 2.2) < 1e-9)
+  }
+
   test("phrase with a term absent from the index returns empty") {
     val idx = IndexBuilder.fromCodeDocs(spark, corpus(3L, 50).toDS(),
       IndexConfig(shardSizeDocs = 32))
