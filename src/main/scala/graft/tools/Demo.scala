@@ -64,6 +64,26 @@ object Demo {
     show("sql     ", spark.sql(
       "SELECT graft_doclen('Messi plays for Barcelona') AS dl, " +
         "graft_tokenize('Messi plays for Barcelona') AS toks"))
+    // SQL TVF over a persisted snapshot: WAND + pruned phrase, by name
+    locally {
+      val root = java.nio.file.Files.createTempDirectory("graft_demo_idx").toString
+      graft.table.IndexTables.write(spark, index, root)
+      graft.sql.MatchQuery.register(spark)
+      graft.sql.MatchQuery.registerIndex("demo", root)
+      show("sql/wand", spark.sql(
+        s"SELECT * FROM match_query('demo', '${terms.mkString(" ")}', 3)"))
+      show("sql/phr ", spark.sql(
+        s"SELECT * FROM match_query('demo', '${terms.take(2).mkString(" ")}', 3, 'phrase')"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+    // hybrid retrieval: lexical candidates re-weighted by cosine to
+    // the vec-0 embedding (embeddings table required beside documents)
+    locally {
+      val emb = graft.pipeline.TextPipeline.embeddings(spark, sfDir)
+      show("hybrid  ", graft.pipeline.TextPipeline.hybridTopK(
+        s.scoredDocs(terms).select("docId", "score"), emb,
+        graft.pipeline.TextPipeline.queryVec(emb, 0L), alpha = 0.5, k = 3))
+    }
     spark.stop()
   }
 }
