@@ -123,20 +123,7 @@ object EngineQueries {
 
   private def deleteAtExit(dir: java.nio.file.Path): Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          val s = java.nio.file.Files.list(p)
-          val cs = try {
-            val it = s.iterator()
-            val b = Seq.newBuilder[java.nio.file.Path]
-            while (it.hasNext) b += it.next()
-            b.result()
-          } finally s.close()
-          cs.foreach(rm)
-        }
-        java.nio.file.Files.deleteIfExists(p); ()
-      }
-      try rm(dir) catch { case _: Throwable => () }
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile); ()
     }))
     ()
   }

@@ -48,12 +48,13 @@ object StreamingIndexer {
         // compaction-covered; a restarted ingest with a fresh
         // checkpoint restarts batchId at 0 and would silently write
         // segments every load path ignores and the next prune removes
-        // batchId == w is the legitimate at-least-once window (segments
-        // committed, checkpoint offset not — the replayed write lands
-        // below minBatch and the next prune sweeps it); only ids
-        // STRICTLY below the watermark indicate a fresh-checkpoint
-        // restart recycling pruned ids
-        prunedThrough(root).foreach { w =>
+        // the watermark is the smallest batch id whose segments still
+        // exist (prune deletes STRICTLY below the compaction id, so
+        // the newest compacted batch keeps its manifests as the
+        // idempotence marker): a replay of that batch skips cleanly on
+        // its committed manifests, while any id below the watermark
+        // can only be a fresh-checkpoint restart recycling deleted ids
+        prunedBelow(root).foreach { w =>
           require(batchId >= w,
             s"batchId $batchId at index root $root is below the prune " +
               s"watermark $w — segments with these ids were already compacted " +
@@ -86,13 +87,25 @@ object StreamingIndexer {
             s"run was configured with ${cfg.shardSizeDocs}; mixed shard widths " +
             "corrupt WAND/dl pruning — reuse the original width or a fresh root")
         // mixed analyzers across segments tokenize the SAME text
-        // differently — queries could never match all segments at once
-        analyzerName.foreach { a =>
-          require(a == cfg.analyzer.name,
-            s"index at $root was ingested with analyzer '$a' but this run " +
-              s"was configured with '${cfg.analyzer.name}'; mixed analyzers " +
-              "produce incompatible token streams — reuse the original " +
-              "analyzer or a fresh root")
+        // differently — queries could never match all segments at once.
+        // A config without the analyzer field is a pre-upgrade root:
+        // its segments were built with the standard analyzer (the only
+        // one that existed), so enforce that and UPGRADE the config so
+        // the guard is explicit from here on.
+        val prior = analyzerName.getOrElse(graft.analysis.Analyzer.name)
+        require(prior == cfg.analyzer.name,
+          s"index at $root was ingested with analyzer '$prior' but this run " +
+            s"was configured with '${cfg.analyzer.name}'; mixed analyzers " +
+            "produce incompatible token streams — reuse the original " +
+            "analyzer or a fresh root")
+        if (analyzerName.isEmpty) {
+          val tmp = Paths.get(root, s"_tmp_ingest_config_${System.nanoTime()}.json")
+          Files.writeString(tmp,
+            s"""{"shardSizeDocs":$shard,"analyzer":"$prior"}""")
+          Files.move(tmp, Paths.get(root, "ingest_config.json"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
         }
       case None =>
         val p = Paths.get(root, "ingest_config.json")
@@ -157,18 +170,18 @@ object StreamingIndexer {
     d.intersect(po).toSeq.sorted
   }
 
-  private def prunedThrough(root: String): Option[Long] = {
+  private def prunedBelow(root: String): Option[Long] = {
     val p = Paths.get(root, "pruned_watermark.json")
     if (!Files.exists(p)) None
-    else "\"prunedThrough\":([0-9]+)".r
+    else "\"prunedBelow\":([0-9]+)".r
       .findFirstMatchIn(Files.readString(p)).map(_.group(1).toLong)
   }
 
-  private def writePrunedThrough(root: String, n: Long): Unit = {
-    val cur = prunedThrough(root).getOrElse(-1L)
+  private def writePrunedBelow(root: String, n: Long): Unit = {
+    val cur = prunedBelow(root).getOrElse(-1L)
     if (n > cur) {
       val tmp = Paths.get(root, s"_tmp_pruned_${System.nanoTime()}.json")
-      Files.writeString(tmp, s"""{"prunedThrough":$n}""")
+      Files.writeString(tmp, s"""{"prunedBelow":$n}""")
       // same-directory atomic rename, like every other JSON commit
       // here — a REPLACE_EXISTING copy could be observed half-written,
       // silently bypassing the recycled-id guard
@@ -192,12 +205,18 @@ object StreamingIndexer {
     * `pruneSegments` once the compacted manifests are committed. */
   def compact(spark: SparkSession, root: String,
       cfg: IndexConfig = IndexConfig()): InvertedIndex = {
-    val merged = loadMerged(spark, root, cfg)
-    // output versioned by the newest ingested segment: re-running on
-    // the same segment set is an idempotent no-op (manifest-gated),
-    // while new batches produce a FRESH compaction instead of silently
-    // returning the stale one
-    val latest = (latestCompaction(root).toSeq ++ completeBatches(root)).max
+    // ONE snapshot of the complete-batch set drives BOTH the merge and
+    // the compaction name — a second listing could see a batch that
+    // committed after the merge plan formed, claim it in the name, and
+    // let the next prune delete data the compaction never contained
+    val base = latestCompaction(root)
+    val minBatch = base.map(_ + 1).getOrElse(0L)
+    val batches = completeBatches(root).filter(_ >= minBatch)
+    val merged = mergeSnapshot(spark, root, base, batches, cfg)
+    // output versioned by the newest segment IN THIS SNAPSHOT:
+    // re-running on the same set is an idempotent no-op
+    // (manifest-gated), new batches produce a FRESH compaction
+    val latest = (base.toSeq ++ batches).max
     val out = s"$root/compacted-$latest"
     graft.table.IndexTables.write(spark, merged, out)
     graft.table.IndexTables.load(spark, out)
@@ -236,12 +255,15 @@ object StreamingIndexer {
       case None => Seq.empty
       case Some(n) =>
         // watermark FIRST (atomic): from here on, writers reject
-        // recycled batch ids ≤ n even if this prune crashes mid-delete
-        writePrunedThrough(root, n)
-        // only COMPLETE batches are deleted — the compaction consumed
-        // exactly those; a half segment (docs committed, postings
-        // crashed) stays until its batch replays and completes
-        val complete = completeBatches(root).filter(_ <= n).toSet
+        // recycled batch ids < n even if this prune crashes mid-delete
+        writePrunedBelow(root, n)
+        // deletion is STRICTLY below the compaction id: batch n's
+        // manifests survive as the replay idempotence marker (an
+        // at-least-once redelivery of batch n skips on them instead of
+        // re-writing doomed segments), and only COMPLETE batches are
+        // deleted — a half segment (docs committed, postings crashed)
+        // stays until its batch replays and completes
+        val complete = completeBatches(root).filter(_ < n).toSet
         val pruned = for {
           prefix <- Seq("docs-b", "postings-b")
           tbl <- segmentTables(root, prefix)
@@ -310,26 +332,41 @@ object StreamingIndexer {
     * silently mis-prune the query paths. */
   def loadMerged(spark: SparkSession, root: String,
       cfg: IndexConfig = IndexConfig()): InvertedIndex = {
+    val base = latestCompaction(root)
+    val minBatch = base.map(_ + 1).getOrElse(0L)
+    mergeSnapshot(spark, root, base,
+      completeBatches(root).filter(_ >= minBatch), cfg)
+  }
+
+  /** Merge a FIXED snapshot of (compaction base, complete batch ids) —
+    * the single merge core compact() and loadMerged() share, so the
+    * batch set a compaction is named after is exactly the set it
+    * merged. Only COMPLETE batches may appear in `batches`: a
+    * half-written segment (docs committed, postings crashed) must not
+    * contribute its docs — they would double-count once the batch
+    * replays, or be phantom rows with no postings otherwise. */
+  private def mergeSnapshot(
+      spark: SparkSession,
+      root: String,
+      compacted: Option[Long],
+      batches: Seq[Long],
+      cfg: IndexConfig): InvertedIndex = {
+    // shard width + analyzer restored from ingest_config.json: the
+    // stored rows were produced with them, and a mismatched caller cfg
+    // would silently mis-prune / mis-tokenize
     val effCfg = readIngestConfig(root).map { case (shard, analyzerName) =>
       cfg.copy(shardSizeDocs = shard,
         analyzer = analyzerName.map(graft.analysis.TextAnalyzers.byName)
           .getOrElse(cfg.analyzer))
     }.getOrElse(cfg)
-    val compacted = latestCompaction(root)
     val base = compacted.map(n => s"$root/compacted-$n")
-    val minBatch = compacted.map(_ + 1).getOrElse(0L)
-    // only COMPLETE batches merge — a half-written segment (docs
-    // committed, postings crashed mid-batch) must not contribute its
-    // docs: they would double-count once the batch replays or be
-    // phantom rows with no postings otherwise
-    val newer = completeBatches(root).filter(_ >= minBatch)
-    require(newer.nonEmpty || base.nonEmpty,
+    require(batches.nonEmpty || base.nonEmpty,
       s"no committed segments under $root")
     val docParts = base.map(TableFormat.read(spark, _, "docs")).toSeq ++
-      newer.map(id => TableFormat.read(spark, root, s"docs-b$id"))
+      batches.map(id => TableFormat.read(spark, root, s"docs-b$id"))
     val docs = docParts.reduce(_ union _)
     val postParts = base.map(TableFormat.read(spark, _, "postings")).toSeq ++
-      newer.map(id => TableFormat.read(spark, root, s"postings-b$id"))
+      batches.map(id => TableFormat.read(spark, root, s"postings-b$id"))
     val partials = postParts.reduce(_ union _)
     val postings = IndexBuilder.mergeSegmentRows(partials, effCfg)
     val termStats = postings.groupBy("field", "term").agg(

@@ -118,10 +118,13 @@ class StreamingSpec extends AnyFunSuite {
     // new segment AFTER the compaction — must survive the prune
     writeSeg(2L, 80 until 100)
     val pruned = StreamingIndexer.pruneSegments(root)
-    assert(pruned === Seq(0L, 1L))
-    for (t <- Seq("docs-b0", "postings-b0", "docs-b1", "postings-b1"))
+    // deletion is STRICTLY below the compaction id (1): batch 1 keeps
+    // its manifests as the at-least-once replay idempotence marker
+    assert(pruned === Seq(0L))
+    for (t <- Seq("docs-b0", "postings-b0"))
       assert(!Files.exists(java.nio.file.Paths.get(root, s"$t.manifest.json")), t)
-    assert(Files.exists(java.nio.file.Paths.get(root, "docs-b2.manifest.json")))
+    for (t <- Seq("docs-b1", "postings-b1", "docs-b2"))
+      assert(Files.exists(java.nio.file.Paths.get(root, s"$t.manifest.json")), t)
     // post-prune load = compaction + newer segment, all 100 docs
     val loaded = StreamingIndexer.loadMerged(spark, root, cfg)
     assert(loaded.stats.numDocs === 100)
