@@ -30,6 +30,11 @@ object ExprHelpers {
     Analyzer.foreachEmitted(s.toString)((t, _) => out += UTF8String.fromString(t))
     new GenericArrayData(out.toArray)
   }
+  def tokenizeRaw(s: UTF8String): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    Analyzer.scanRaw(s.toString)((t, _) => out += UTF8String.fromString(t))
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** graft_doclen(text) — emitted-token count (BM25 document length). */
@@ -66,6 +71,27 @@ case class TokenizeExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** graft_tokenize_raw(text) — ALL raw tokens (stopwords included), in
+  * order; element index + 1 is the engine's 1-based raw position. The
+  * pipeline's shared tokenization stage (rawTok) runs on this instead
+  * of a Dataset flatMap, keeping the scan inside WholeStageCodegen
+  * with no tuple encode/decode per token. */
+case class TokenizeRawExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_tokenize_raw requires a string argument, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokenize_raw"
+  override def nullSafeEval(input: Any): Any =
+    ExprHelpers.tokenizeRaw(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sql.ExprHelpers.tokenizeRaw($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenizeRawExpr =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
 
   type Description =
@@ -84,7 +110,13 @@ object GraftFunctions {
     info("graft_tokenize", "graft_tokenize(text) - emitted tokens, stopwords removed"),
     (children: Seq[Expression]) => TokenizeExpr(children.head))
 
-  val all: Seq[Description] = Seq(docLen, tokenize)
+  val tokenizeRaw: Description = (
+    FunctionIdentifier("graft_tokenize_raw"),
+    info("graft_tokenize_raw",
+      "graft_tokenize_raw(text) - raw tokens, stopwords included"),
+    (children: Seq[Expression]) => TokenizeRawExpr(children.head))
+
+  val all: Seq[Description] = Seq(docLen, tokenize, tokenizeRaw)
 
   /** Imperative registration on an existing session (for sessions not
     * created with `spark.sql.extensions=graft.sql.GraftExtensions`). */
@@ -100,6 +132,8 @@ object GraftFunctions {
     ColumnShim.column(DocLenExpr(ColumnShim.expression(c)))
   def tokenizeCol(c: Column): Column =
     ColumnShim.column(TokenizeExpr(ColumnShim.expression(c)))
+  def tokenizeRawCol(c: Column): Column =
+    ColumnShim.column(TokenizeRawExpr(ColumnShim.expression(c)))
 }
 
 /** Plug-in entry point:

@@ -26,6 +26,30 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT graft_doclen(CAST(NULL AS STRING))").head().isNullAt(0))
   }
 
+  test("graft_tokenize_raw matches Analyzer.rawTokens (stopwords, order, positions)") {
+    import spark.implicits._
+    val texts = Seq("Messi plays for Barcelona", "", "the a of and is",
+      "public class F1 { import pkg3; }", "naïve Kelvin K test")
+    graft.sql.GraftFunctions.register(spark)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val viaSql = spark.sql(
+        s"SELECT graft_tokenize_raw('${t.replace("'", "''")}') AS r")
+        .head().getSeq[String](0)
+      assert(viaSql === graft.analysis.Analyzer.rawTokens(t).toSeq, s"case $i: '$t'")
+    }
+    // rawTok over a DataFrame: same rows as the previous flatMap shape
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.TextPipeline.rawTok(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val want = texts.zipWithIndex.flatMap { case (t, i) =>
+      graft.analysis.Analyzer.rawTokens(t).zipWithIndex.map { case (tok, p) =>
+        (i.toLong, tok, p + 1)
+      }
+    }.toSet
+    assert(got === want)
+  }
+
   test("expression results identical to the Scala analyzer over real docs") {
     val docs = graft.pipeline.TextPipeline
       .documents(spark, "/root/testdata/sf0.001").limit(50)
