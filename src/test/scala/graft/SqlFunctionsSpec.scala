@@ -50,6 +50,25 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("codegen shingles match the reference sliding-window set") {
+    import spark.implicits._
+    val texts = Seq(
+      "alpha beta gamma delta alpha beta gamma", // repeats → distinct matters
+      "one two", // < 3 tokens → no shingles
+      "", "x y z")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.TextPipeline.shingles(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = texts.zipWithIndex.flatMap { case (t, i) =>
+      val toks = graft.analysis.Analyzer.rawTokens(t).toArray
+      (0 until math.max(0, toks.length - 2)).map { j =>
+        (i.toLong, s"${toks(j)} ${toks(j + 1)} ${toks(j + 2)}")
+      }.distinct
+    }.toSet
+    assert(got === want)
+  }
+
   test("expression results identical to the Scala analyzer over real docs") {
     val docs = graft.pipeline.TextPipeline
       .documents(spark, "/root/testdata/sf0.001").limit(50)
