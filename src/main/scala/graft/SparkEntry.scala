@@ -41,6 +41,9 @@ object SparkEntry {
     "sha256_rows" -> ((s, d) => E.shaRows(s, d)),
     "match_sql" -> ((s, d) => E.matchSql(s, d)),
     "phrase_sql" -> ((s, d) => E.phraseSql(s, d)),
+    "bm25_tombstone" -> ((s, d) => E.bm25Tombstone(s, d)),
+    "bm25_wand_tombstone" -> ((s, d) => E.bm25WandTombstone(s, d)),
+    "bm25_after_delete" -> ((s, d) => E.bm25AfterDelete(s, d)),
     // ---- training-data pipeline ----
     "dedup_exact" -> ((s, d) => T.dedupExact(T.documents(s, d))),
     "dedup_jaccard" -> ((s, d) => T.ngramJaccardPairs(T.documents(s, d), 0.8)),

@@ -110,6 +110,58 @@ object EngineQueries {
     index(s, dir).docs.select(col("docId").as("doc_id"),
       col("content_sha256").as("sha"))
 
+  // ---- document deletion (reference intent: HBaseIndexReader.java:115-132) ----
+
+  /** Deterministic tombstone set shared by the delete queries (and
+    * their oracles): every doc with doc_id ≡ 3 (mod 7), ~14 % of the
+    * corpus spread across the id range. */
+  private def deleteSet(s: SparkSession, dir: String): DataFrame =
+    TextPipeline.documents(s, dir)
+      .where(col("doc_id") % 7 === 3)
+      .select(col("doc_id").cast("long").as("docId"))
+
+  /** TOMBSTONE semantics (Lucene deletes before a merge): deleted docs
+    * vanish from the hits, but df/idf and corpus stats stay stale until
+    * physical apply — survivors keep their pre-delete scores. Oracle:
+    * full-corpus scoring + a NOT-deleted filter before top-k. */
+  def bm25Tombstone(s: SparkSession, dir: String): DataFrame =
+    asTopK(new Searcher(s, index(s, dir).withDeletes(deleteSet(s, dir)))
+      .topK(Seq("spark"), 10))
+
+  /** Same tombstone semantics through the block-max WAND path — the
+    * per-shard cogroup skips docs absent from the live dl side; must
+    * be rank/score-identical to the exhaustive tombstone path (same
+    * oracle shape over the OR query set). */
+  def bm25WandTombstone(s: SparkSession, dir: String): DataFrame =
+    asTopK(new Searcher(s, index(s, dir).withDeletes(deleteSet(s, dir)))
+      .topKWand(Seq("spark", "merge", "window"), 10))
+
+  /** PHYSICAL apply (the compaction path, Deletes.applied): postings
+    * and docs rewritten without the deleted docs, df/cf/N/avgdl all
+    * reflect the post-delete corpus — scores CHANGE relative to the
+    * tombstone path. Oracle: full recompute over the live corpus only.
+    * Applied once per JVM per dir (an applied index is a snapshot,
+    * like the base index). */
+  private val appliedCache = TrieMap.empty[String, InvertedIndex]
+  private val appliedLock = new Object
+
+  private def appliedIndex(s: SparkSession, dir: String): InvertedIndex =
+    appliedCache.get(dir) match {
+      case Some(idx) => idx
+      case None => appliedLock.synchronized {
+        appliedCache.getOrElseUpdate(dir, {
+          val idx = graft.build.Deletes.applied(
+            s, index(s, dir).withDeletes(deleteSet(s, dir)))
+          idx.cache()
+          idx.postings.count()
+          idx
+        })
+      }
+    }
+
+  def bm25AfterDelete(s: SparkSession, dir: String): DataFrame =
+    asTopK(new Searcher(s, appliedIndex(s, dir)).topK(Seq("spark"), 10))
+
   /** Persisted-index roots for the SQL surface, one per scale dir —
     * match_query() reads a committed on-disk snapshot, so the index
     * is written once per JVM (same build-once/query-many shape as
@@ -121,10 +173,24 @@ object EngineQueries {
   private val sqlRoots = TrieMap.empty[String, String]
   private val sqlRootsLock = new Object
 
-  private def deleteAtExit(dir: java.nio.file.Path): Unit = {
+  /** ONE shutdown hook draining a concurrent queue of temp roots — a
+    * hook-per-root would accumulate one live Thread object per created
+    * root for the JVM lifetime in a long session. */
+  private val exitDeletions = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val exitHookInstalled: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile); ()
+      var p = exitDeletions.poll()
+      while (p != null) {
+        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+        p = exitDeletions.poll()
+      }
     }))
+    ()
+  }
+
+  private def deleteAtExit(dir: java.nio.file.Path): Unit = {
+    exitHookInstalled
+    exitDeletions.add(dir)
     ()
   }
 

@@ -13,26 +13,37 @@ object OracleSql {
 
   private val STOP = Analyzer.stopWordsSqlList
 
-  /** Shared tokenization CTEs: raw split → tok (1-based pos over
-    * non-empty tokens, stopwords included) → emitted (stop-filtered)
-    * → dl (per-doc emitted count, 0 kept) → corpus (N, avgdl). */
-  private val TOK = s"""
-WITH raw AS (
+  /** Shared tokenization CTEs over a source relation `src`: raw split
+    * → tok (1-based pos over non-empty tokens, stopwords included) →
+    * emitted (stop-filtered) → dl (per-doc emitted count, 0 kept) →
+    * corpus (N, avgdl). Parameterized so the delete oracles can score
+    * over the LIVE corpus only. */
+  private def tokCtes(src: String): String = s"""
+raw AS (
   SELECT doc_id,
          unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term,
          generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), 1) AS ord
-  FROM documents),
+  FROM $src),
 tok AS (
   SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS pos
   FROM raw WHERE term <> ''),
 emitted AS (SELECT * FROM tok WHERE term NOT IN $STOP),
 dl AS (
   SELECT d.doc_id, coalesce(e.c, 0)::DOUBLE AS dl
-  FROM documents d LEFT JOIN
+  FROM $src d LEFT JOIN
     (SELECT doc_id, count(*)::BIGINT AS c FROM emitted GROUP BY 1) e USING (doc_id)),
 corpus AS (
-  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+  SELECT (SELECT count(*) FROM $src)::DOUBLE AS n,
          (SELECT avg(dl) FROM dl) AS avgdl)"""
+
+  private val TOK = "\nWITH " + tokCtes("documents")
+
+  /** Tokenization CTEs over the corpus MINUS the canonical tombstone
+    * set (doc_id ≡ 3 mod 7 — mirrors EngineQueries.deleteSet): the
+    * physical-delete oracle, where df/N/avgdl reflect survivors only. */
+  private val TOK_LIVE =
+    "\nWITH live AS (SELECT * FROM documents WHERE doc_id % 7 <> 3),\n" +
+      tokCtes("live")
 
   private def inList(terms: Seq[String]): String =
     terms.map(t => s"'$t'").mkString("(", ", ", ")")
@@ -112,6 +123,28 @@ WHERE term IN ('spark', 'merge', 'window', 'dup') GROUP BY 1"""),
     // the TVF's phrase mode substitutes the pruned positional plan →
     // same oracle as phrase_bm25 (identical phrase, via SQL)
     "phrase_sql" -> phraseHashJoin,
+
+    // TOMBSTONE deletes (Lucene semantics pre-merge): hits filtered,
+    // scores computed with the STALE full-corpus stats — the oracle
+    // scores over all docs and applies the not-deleted filter at top-k
+    "bm25_tombstone" -> (TOK + bm25Scored(Seq("spark")) + """
+SELECT doc_id, round(s, 4) AS score FROM scored
+WHERE doc_id % 7 <> 3
+ORDER BY s DESC, doc_id LIMIT 10"""),
+
+    // same tombstone contract through the WAND path (OR query set) —
+    // rank/score-identical to the exhaustive tombstone plan
+    "bm25_wand_tombstone" -> (TOK + bm25Scored(Seq("spark", "merge", "window")) + """
+SELECT doc_id, round(s, 4) AS score FROM scored
+WHERE doc_id % 7 <> 3
+ORDER BY s DESC, doc_id LIMIT 10"""),
+
+    // PHYSICAL delete application (the compaction path): postings and
+    // stats rewritten, so df/N/avgdl — and the scores — are those of
+    // the live corpus only
+    "bm25_after_delete" -> (TOK_LIVE + bm25Scored(Seq("spark")) + """
+SELECT doc_id, round(s, 4) AS score FROM scored
+ORDER BY s DESC, doc_id LIMIT 10"""),
 
     // hybrid retrieval: BM25 candidates + 0.5 × cosine(vec 0), cosine
     // rounded to 3 before blending (embed-oracle float contract)

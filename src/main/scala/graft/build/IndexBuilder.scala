@@ -61,24 +61,42 @@ final case class IndexConfig(
       * must tokenize with the SAME analyzer it was built with. */
     analyzer: graft.analysis.TextAnalyzer = Analyzer)
 
-/** The built index: four logical tables (SURVEY.md §1.6).
+/** The built index: four logical tables (SURVEY.md §1.6) plus an
+  * optional tombstone set.
   *
   *   docs      — (docId, dl, content_sha256, + source columns)
   *   postings  — (field, term, shard, df, cf, maxTf, blob)
   *   termStats — (field, term, df, cf, maxTf)   [global, shards merged]
   *   stats     — broadcastable corpus stats (N, avgdl)
+  *   deletes   — (docId) tombstones: docs excluded from every query
+  *               path at read time (Lucene delete semantics — the
+  *               reference DECLARES this API but stubs it,
+  *               HBaseIndexReader.java:115-132). Like Lucene, df/idf
+  *               and corpus stats stay stale until the deletes are
+  *               applied PHYSICALLY (Deletes.applied / compaction),
+  *               which rewrites postings/docs and refreshes stats.
   */
 final class InvertedIndex(
     val docs: DataFrame,
     val postings: DataFrame,
     val termStats: DataFrame,
     statsThunk: () => CorpusStats,
-    val config: IndexConfig) {
+    val config: IndexConfig,
+    val deletes: Option[DataFrame] = None) {
 
   /** Corpus stats are LAZY: computed on first query, not at build
     * time — the build/write path derives them from the written docs
     * table instead of forcing an extra full pass over the corpus. */
   lazy val stats: CorpusStats = statsThunk()
+
+  /** Tombstone `docIds` (read-time deletion). Cumulative: stacking
+    * calls unions the sets. The column is normalized to a single
+    * `docId` long so callers can pass any one-column id frame. */
+  def withDeletes(del: DataFrame): InvertedIndex = {
+    val norm = del.select(col(del.columns.head).cast("long").as("docId"))
+    new InvertedIndex(docs, postings, termStats, statsThunk, config,
+      Some(deletes.map(_.union(norm)).getOrElse(norm)))
+  }
 
   def cache(): InvertedIndex = {
     docs.cache(); postings.cache(); termStats.cache(); this

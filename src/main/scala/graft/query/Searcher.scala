@@ -89,11 +89,29 @@ final class Searcher(
       df.join(broadcast(local), Seq("shard"), "left_semi")
     }
 
-  private def dlWithShard: DataFrame =
-    index.docs
+  /** Live (docId, dl, shard) — the single place tombstones apply: a
+    * deleted doc is ABSENT from the dl side, so the exhaustive path
+    * drops it at its inner scoring join and the cogroup paths skip it
+    * when the shard-local dl map has no entry (Wand treats a NaN dl as
+    * "not live"). The anti-join keys on (docId, shard) — shard derives
+    * from docId on both sides — so the query's shard pruning filter
+    * propagates through the join's equality constraint to the deletes
+    * side too. Stats/df stay stale until physical apply (Lucene delete
+    * semantics; Deletes.applied / compaction refreshes them). */
+  private def dlWithShard: DataFrame = {
+    val base = index.docs
       .select(col("docId"), col("dl").cast("double").as("dl"))
       .withColumn("shard",
         (col("docId") / lit(index.config.shardSizeDocs)).cast("long"))
+    index.deletes match {
+      case None => base
+      case Some(del) =>
+        val d = del.select(col("docId").cast("long").as("docId"))
+          .withColumn("shard",
+            (col("docId") / lit(index.config.shardSizeDocs)).cast("long"))
+        base.join(d, Seq("docId", "shard"), "left_anti")
+    }
+  }
 
   /** Slim (docId, dl) lookup for scoring joins, pruned to the doc-range
     * shards that actually hold postings for the query's terms — for
@@ -189,10 +207,17 @@ final class Searcher(
       .limit(k)
       .select("docId", "score")
 
-  /** Total hit count (reference totalHits, TestHBaseIndexReader.java:50). */
+  /** Total hit count (reference totalHits, TestHBaseIndexReader.java:50).
+    * Counts LIVE matches only (tombstoned docs excluded). */
   def totalHits(terms: Seq[String], requireAll: Boolean = false): Long = {
     val qTerms = terms.distinct
-    val m = matches(qTerms).groupBy("docId").agg(countDistinct("term").as("n"))
+    val base = matches(qTerms).toDF()
+    val live = index.deletes match {
+      case None => base
+      case Some(del) => base.join(
+        del.select(col("docId").cast("long").as("docId")), Seq("docId"), "left_anti")
+    }
+    val m = live.groupBy("docId").agg(countDistinct("term").as("n"))
     (if (requireAll) m.where(col("n") === qTerms.length) else m).count()
   }
 
@@ -240,7 +265,8 @@ final class Searcher(
               scorerB.upperBound(r.maxTf.toDouble, df, st), scorerB, st,
               new PostingsCodec.BlobView(r.blob))
           }.toSeq
-          Wand.topK(iters, d => dlMap.getOrElse(d, 0.0), scorerB, st, k,
+          // NaN = "not live" (deleted or unknown): Wand skips the doc
+          Wand.topK(iters, d => dlMap.getOrElse(d, Double.NaN), scorerB, st, k,
             requireAll, nQueryTerms, queryDfs).iterator
         }
     }
@@ -287,6 +313,14 @@ final class Searcher(
     val matched = prows.cogroup(dls) {
       (_: Long, ps: Iterator[PostingRow], ds: Iterator[(Long, Double, Long)]) =>
         val rows = ps.toArray
+        // one row per (term, shard) is a merge-path invariant, and this
+        // toMap would SILENTLY keep one of the duplicates (undercounting
+        // phrase tf on e.g. an un-merged union of segment partials) —
+        // fail loudly instead, like topKWand which keeps duplicates as
+        // separate iterators
+        require(rows.iterator.map(_.term).toSet.size == rows.length,
+          "duplicate posting rows for one (term, shard) — phrase search " +
+            "requires merged postings (one row per term per shard)")
         val iterOf = rows.map { r =>
           r.term -> new TermIterator(r.term, dfs(r.term).toDouble, 0.0,
             scorerB, st, new PostingsCodec.BlobView(r.blob))
@@ -295,8 +329,11 @@ final class Searcher(
         else {
           val dlMap = new scala.collection.mutable.LongMap[Double]()
           ds.foreach { case (d, dl, _) => dlMap.update(d, dl) }
+          // docs absent from the live dl side (tombstoned) are dropped
+          // BEFORE the phrase-df count, so phrase idf reflects live
+          // matches only
           Wand.phraseMatches(slots, iterOf)
-            .map { case (d, tf) => (d, tf, dlMap.getOrElse(d, 0.0)) }
+            .collect { case (d, tf) if dlMap.contains(d) => (d, tf, dlMap(d)) }
         }
     }.toDF("docId", "tf", "dl")
       // eager materialization: the cogroup runs ONCE for both the df
@@ -327,12 +364,15 @@ final class Searcher(
     // localCheckpoint (eager): the positions join runs ONCE, its result
     // is materialized for both the df count and the scoring plan, and —
     // unlike cache() — it is NOT pinned in the session CacheManager, so
-    // the blocks free once this query's DataFrames are unreferenced
+    // the blocks free once this query's DataFrames are unreferenced.
+    // The live dl join comes BEFORE the phrase-df count so tombstoned
+    // docs don't inflate df — same contract as the pruned path (which
+    // filters inside the cogroup before counting).
     val phraseTf = starts.groupBy("docId").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
-    val df = phraseTf.count().toDouble // docs containing the phrase
-    val withDl = phraseTf
       .join(dlLookup(collectMeta(terms.distinct)), Seq("docId"))
+      .localCheckpoint()
+    val df = phraseTf.count().toDouble // LIVE docs containing the phrase
+    val withDl = phraseTf
       .withColumn("score", scorer.contributionCol(
         col("tf").cast("double"), lit(df), col("dl"), stats))
     withDl.orderBy(desc("score"), asc("docId")).limit(k)

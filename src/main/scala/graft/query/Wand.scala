@@ -125,7 +125,10 @@ object Wand {
   }
 
   /** @param dlOf docId → document length (co-partitioned by doc-range
-    *   shard at scale; a plain map here since one shard ≤ shardSize docs)
+    *   shard at scale; a plain map here since one shard ≤ shardSize
+    *   docs). Double.NaN marks a NON-LIVE doc (tombstoned / absent
+    *   from the live dl side): such docs are skipped as candidates —
+    *   θ-pruning stays sound because skipping only removes hits.
     * @param requireAll conjunctive (AND) semantics when true. */
   def topK(
       itersIn: Seq[TermIterator],
@@ -204,16 +207,18 @@ object Wand {
           i = 0
           while (i < byTerm.length) { blockSum += byTerm(i).blockUb * ubScale; i += 1 }
           if (blockSum > theta || heap.size < k) {
-            var score = 0.0
             val dl = dlOf(maxDoc)
-            i = 0
-            while (i < byTerm.length) { // byTerm is term-ascending: fixed order
-              val it = byTerm(i)
-              score += scorer.contribution(it.curTf.toDouble, it.df, dl, stats)
-              i += 1
+            if (!dl.isNaN) { // NaN dl = not live (tombstoned) → skip
+              var score = 0.0
+              i = 0
+              while (i < byTerm.length) { // byTerm is term-ascending: fixed order
+                val it = byTerm(i)
+                score += scorer.contribution(it.curTf.toDouble, it.df, dl, stats)
+                i += 1
+              }
+              score *= scorer.docFactor(nTerms, queryDfs, stats)
+              offer(maxDoc, score)
             }
-            score *= scorer.docFactor(nTerms, queryDfs, stats)
-            offer(maxDoc, score)
           }
           i = 0
           while (i < byTerm.length) { byTerm(i).next(); i += 1 }
@@ -254,13 +259,15 @@ object Wand {
             blockSum += iters(j).blockUb * ubScale; j += 1
           }
           val nMatched = j
-          if (blockSum > theta || heap.size < k) {
+          val dlPivot = dlOf(pivotDoc)
+          // NaN dl = not live (tombstoned) → never a candidate
+          if ((blockSum > theta || heap.size < k) && !dlPivot.isNaN) {
             if (!requireAll || nMatched == nTerms) {
               // deterministic order: byTerm is term-ascending
               var score = 0.0
               var m = 0
               var t = 0
-              val dl = dlOf(pivotDoc)
+              val dl = dlPivot
               while (t < byTerm.length) {
                 val it = byTerm(t)
                 if (!it.exhausted && it.curDoc == pivotDoc) {

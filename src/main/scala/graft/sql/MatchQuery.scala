@@ -36,8 +36,39 @@ object MatchQuery {
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)
 
   /** Loaded indexes are build-once/query-many artifacts — memoized per
-    * root like EngineQueries' per-dir cache. */
-  private val indexCache = TrieMap.empty[String, InvertedIndex]
+    * root like EngineQueries' per-dir cache. The cache key carries a
+    * SNAPSHOT VERSION (manifest + stats.json mtimes): a root rewritten
+    * in place (e.g. by a later compaction at the same path) changes its
+    * manifests' timestamps, so the stale entry simply stops being hit
+    * instead of serving old data for the JVM lifetime. Stale entries
+    * are evicted on replacement (same root, new version). */
+  private val indexCache = TrieMap.empty[String, (String, InvertedIndex)]
+
+  /** Cheap filesystem fingerprint of a committed snapshot: the mtimes
+    * of the three table manifests plus stats.json (four stat calls —
+    * no data I/O). An in-place rewrite commits new manifests, so any
+    * visible change moves at least one mtime. */
+  private def snapshotVersion(root: String): String = {
+    def mt(name: String): Long = {
+      val p = java.nio.file.Paths.get(root, name)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.getLastModifiedTime(p).toMillis
+      else -1L
+    }
+    Seq("docs.manifest.json", "postings.manifest.json",
+      "termStats.manifest.json", "stats.json").map(mt).mkString(",")
+  }
+
+  private def loadCached(spark: SparkSession, root: String): InvertedIndex = {
+    val ver = snapshotVersion(root)
+    indexCache.get(root) match {
+      case Some((v, idx)) if v == ver => idx
+      case _ =>
+        val idx = IndexTables.load(spark, root)
+        indexCache.put(root, (ver, idx))
+        idx
+    }
+  }
 
   /** Named-index catalog: `registerIndex("code", root)` lets SQL read
     * `match_query('code', …)` instead of a filesystem path. Names
@@ -82,18 +113,20 @@ object MatchQuery {
     require(mode == "or" || mode == "and" || mode == "phrase",
       s"match_query: mode must be 'or'|'and'|'phrase', got $mode")
     // The query text is tokenized with the analyzer the index was
-    // BUILT with (restored from the snapshot's stats.json) — a
-    // mismatched analyzer silently mis-tokenizes queries (e.g. the
-    // standard analyzer keeps `snake_case` whole while a
+    // BUILT with (restored from the snapshot's stats.json — a
+    // stats-only read, so a query that tokenizes to zero terms
+    // returns the empty relation WITHOUT loading or caching the
+    // tables) — a mismatched analyzer silently mis-tokenizes queries
+    // (e.g. the standard analyzer keeps `snake_case` whole while a
     // code-identifier index only holds `snake`/`case`). phrase keeps
     // the emitted slot sequence (order + duplicates); or/and
     // deduplicate. Stop words collapse out of the phrase (the
     // analyzer removes them before slots form) — same quirk as a
     // Lucene PhraseQuery built on a stop-filtered token stream.
-    val idx = indexCache.getOrElseUpdate(root, IndexTables.load(spark, root))
+    val (_, lightCfg) = IndexTables.loadStatsAndConfig(root)
     val slots = {
       val b = Seq.newBuilder[String]
-      idx.config.analyzer.foreachEmitted(query)((t, _) => b += t)
+      lightCfg.analyzer.foreachEmitted(query)((t, _) => b += t)
       b.result()
     }
     val df =
@@ -101,7 +134,7 @@ object MatchQuery {
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           StructType(Seq(StructField("docId", LongType), StructField("score", DoubleType))))
       else {
-        val searcher = new Searcher(spark, idx)
+        val searcher = new Searcher(spark, loadCached(spark, root))
         if (mode == "phrase") searcher.phraseTopK(slots, k)
         else searcher.topKWand(slots.distinct, k, BM25(), requireAll = mode == "and")
       }

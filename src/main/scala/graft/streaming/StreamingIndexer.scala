@@ -170,6 +170,53 @@ object StreamingIndexer {
     d.intersect(po).toSeq.sorted
   }
 
+  // ---- document deletion (tombstone tables under the index root) ----
+
+  /** Record a delete batch: one committed `deletes-d<seq>` table of
+    * docIds. Tombstones take effect on the next loadMerged (read-time
+    * anti-join) and are applied PHYSICALLY by the next compact();
+    * pruneSegments reclaims delete tables once a compaction has
+    * absorbed them. Returns the delete sequence number. Sequence
+    * allocation assumes the root's single-writer discipline (same as
+    * segment/compaction ids). */
+  def delete(spark: SparkSession, root: String, ids: DataFrame): Long = {
+    val seq = deleteSeqs(root).lastOption.getOrElse(-1L) + 1L
+    val norm = ids.select(col(ids.columns.head).cast("long").as("docId"))
+    TableFormat.write(spark, norm, root, s"deletes-d$seq")
+    seq
+  }
+
+  def deleteIds(spark: SparkSession, root: String, ids: Seq[Long]): Long = {
+    import spark.implicits._
+    delete(spark, root, ids.toDF("docId"))
+  }
+
+  /** Committed delete-table sequence numbers, ascending. */
+  def deleteSeqs(root: String): Seq[Long] =
+    if (!Files.isDirectory(Paths.get(root))) Seq.empty
+    else segmentTables(root, "deletes-d").map(_.stripPrefix("deletes-d").toLong)
+
+  /** Highest delete seq a compaction snapshot has PHYSICALLY applied
+    * (−1 = none / pre-deletes snapshot). Missing marker is safe: the
+    * load path then re-attaches already-applied delete tables as
+    * tombstones, and anti-joining ids that are already gone is a
+    * no-op. */
+  private def appliedDeletesThrough(compactionDir: String): Long = {
+    val p = Paths.get(compactionDir, "deletes_applied.json")
+    if (!Files.exists(p)) -1L
+    else "\"appliedThrough\":(-?[0-9]+)".r
+      .findFirstMatchIn(Files.readString(p)).map(_.group(1).toLong).getOrElse(-1L)
+  }
+
+  private def writeAppliedDeletes(compactionDir: String, through: Long): Unit = {
+    val tmp = Paths.get(compactionDir, s"_tmp_deletes_applied_${System.nanoTime()}.json")
+    Files.writeString(tmp, s"""{"appliedThrough":$through}""")
+    Files.move(tmp, Paths.get(compactionDir, "deletes_applied.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
   private def prunedBelow(root: String): Option[Long] = {
     val p = Paths.get(root, "pruned_watermark.json")
     if (!Files.exists(p)) None
@@ -205,43 +252,81 @@ object StreamingIndexer {
     * `pruneSegments` once the compacted manifests are committed. */
   def compact(spark: SparkSession, root: String,
       cfg: IndexConfig = IndexConfig()): InvertedIndex = {
-    // ONE snapshot of the complete-batch set drives BOTH the merge and
-    // the compaction name — a second listing could see a batch that
-    // committed after the merge plan formed, claim it in the name, and
-    // let the next prune delete data the compaction never contained
-    val base = latestCompaction(root)
-    val minBatch = base.map(_ + 1).getOrElse(0L)
+    // ONE snapshot of the complete-batch set AND the delete-table set
+    // drives the merge, the delete application and the compaction
+    // name — a second listing could see a batch/delete that committed
+    // after the merge plan formed, claim it in the name, and let the
+    // next prune delete data the compaction never contained
+    val base = latestCompactionInfo(root)
+    val minBatch = base.map(_.batch + 1).getOrElse(0L)
     val batches = completeBatches(root).filter(_ >= minBatch)
-    val merged = mergeSnapshot(spark, root, base, batches, cfg)
-    // output versioned by the newest segment IN THIS SNAPSHOT:
-    // re-running on the same set is an idempotent no-op
-    // (manifest-gated), new batches produce a FRESH compaction
-    val latest = (base.toSeq ++ batches).max
-    val out = s"$root/compacted-$latest"
-    graft.table.IndexTables.write(spark, merged, out)
+    val baseApplied = base
+      .map(c => appliedDeletesThrough(s"$root/${c.dir}")).getOrElse(-1L)
+    val pendingDels = deleteSeqs(root).filter(_ > baseApplied)
+    val merged = mergeSnapshot(spark, root, base.map(_.dir), batches, cfg)
+    // deletes newer than the base compaction are applied PHYSICALLY:
+    // deleted docs/postings rows are gone from the written snapshot
+    // and stats/termStats reflect the post-delete corpus
+    val applied =
+      if (pendingDels.isEmpty) merged
+      else graft.build.Deletes.appliedWith(spark, merged,
+        pendingDels.map(sq => TableFormat.read(spark, root, s"deletes-d$sq"))
+          .reduce(_ union _))
+    // output versioned by (newest segment, newest delete) IN THIS
+    // SNAPSHOT: re-running on the same sets is an idempotent no-op
+    // (manifest-gated); new batches OR new deletes produce a FRESH
+    // compaction that orders after this one
+    val latestBatch = (base.map(_.batch).toSeq ++ batches).max
+    val newApplied = (pendingDels :+ baseApplied).max
+    val name =
+      if (newApplied >= 0) s"compacted-$latestBatch-d$newApplied"
+      else s"compacted-$latestBatch"
+    val out = s"$root/$name"
+    graft.table.IndexTables.write(spark, applied, out)
+    // marker AFTER the tables commit: if it is lost to a crash, loads
+    // re-attach the covered delete tables as tombstones (idempotent
+    // no-op anti-join) until the next compaction rewrites it
+    if (newApplied >= 0) writeAppliedDeletes(out, newApplied)
     graft.table.IndexTables.load(spark, out)
   }
 
-  /** Newest compacted-<N> snapshot whose manifests are ALL committed
+  /** A committed compaction snapshot: directory name under the root,
+    * the newest segment batch it merged, and the newest delete seq it
+    * physically applied (−1 = none; also −1 for pre-delete-era
+    * `compacted-<N>` names). */
+  final case class Compaction(dir: String, batch: Long, delSeq: Long)
+
+  private val CompactionName = "^compacted-([0-9]+)(?:-d([0-9]+))?$".r
+
+  /** Newest compaction snapshot whose manifests are ALL committed
     * (docs + postings + termStats manifests and stats.json) — a
     * half-written compaction is invisible, exactly like a half-written
-    * segment. */
-  def latestCompaction(root: String): Option[Long] = {
+    * segment. Ordered by (batch, delSeq): a deletes-only compaction
+    * of the same batch set supersedes its base. */
+  def latestCompactionInfo(root: String): Option[Compaction] = {
     if (!Files.isDirectory(Paths.get(root))) return None
     val s = Files.list(Paths.get(root))
-    val ids =
+    val cands =
       try s.iterator().asScala
         .map(_.getFileName.toString)
-        .collect { case n if n.startsWith("compacted-") =>
-          n.stripPrefix("compacted-").toLong
+        .flatMap {
+          case n @ CompactionName(b, d) =>
+            Iterator.single(Compaction(n, b.toLong,
+              Option(d).map(_.toLong).getOrElse(-1L)))
+          case _ => Iterator.empty
         }.toSeq
       finally s.close()
-    ids.sorted(Ordering[Long].reverse).find { id =>
-      val dir = s"$root/compacted-$id"
-      Seq("docs", "postings", "termStats").forall(TableFormat.isCommitted(dir, _)) &&
-        Files.exists(Paths.get(dir, "stats.json"))
-    }
+    cands.sortBy(c => (c.batch, c.delSeq))(Ordering.Tuple2[Long, Long].reverse)
+      .find { c =>
+        val dir = s"$root/${c.dir}"
+        Seq("docs", "postings", "termStats").forall(TableFormat.isCommitted(dir, _)) &&
+          Files.exists(Paths.get(dir, "stats.json"))
+      }
   }
+
+  /** Newest compacted batch id (back-compat surface). */
+  def latestCompaction(root: String): Option[Long] =
+    latestCompactionInfo(root).map(_.batch)
 
   /** Segment GC: delete segment snapshots SUPERSEDED by the newest
     * committed compaction (batchId ≤ N for compacted-N). Per segment
@@ -251,9 +336,13 @@ object StreamingIndexer {
     * an invisible orphan dir that the next prune sweeps. No-op when no
     * compaction is committed. Returns the pruned batch ids. */
   def pruneSegments(root: String): Seq[Long] =
-    latestCompaction(root) match {
+    latestCompactionInfo(root) match {
       case None => Seq.empty
-      case Some(n) =>
+      case Some(comp) =>
+        val n = comp.batch
+        // delete tables the newest compaction PHYSICALLY applied are
+        // superseded exactly like covered segments
+        val delApplied = appliedDeletesThrough(s"$root/${comp.dir}")
         // watermark FIRST (atomic): from here on, writers reject
         // recycled batch ids < n even if this prune crashes mid-delete
         writePrunedBelow(root, n)
@@ -281,8 +370,23 @@ object StreamingIndexer {
           dataDirs.foreach(deleteRecursively)
           id
         }
+        // applied delete tables: tombstones the newest compaction has
+        // PHYSICALLY absorbed — manifest first (atomic removal from
+        // every load path), then data
+        for {
+          tbl <- segmentTables(root, "deletes-d")
+          if tbl.stripPrefix("deletes-d").toLong <= delApplied
+        } {
+          Files.deleteIfExists(Paths.get(root, s"$tbl.manifest.json"))
+          val sD = Files.list(Paths.get(root))
+          val dirs = try sD.iterator().asScala
+            .filter(_.getFileName.toString.startsWith(s"$tbl.snap-")).toSeq
+            finally sD.close()
+          dirs.foreach(deleteRecursively)
+        }
         // orphan sweep: data dirs whose manifest vanished in an earlier
-        // crashed prune (segment id ≤ N, invisible to all load paths)
+        // crashed prune (segment id ≤ N / delete seq ≤ applied,
+        // invisible to all load paths)
         val s2 = Files.list(Paths.get(root))
         val orphans =
           try s2.iterator().asScala.filter { p =>
@@ -292,22 +396,33 @@ object StreamingIndexer {
                 m.group(2).toLong <= n &&
                   !Files.exists(Paths.get(root,
                     s"${m.group(1)}-b${m.group(2)}.manifest.json"))
-              case None => false
+              case None =>
+                "^deletes-d([0-9]+)\\.snap-".r.findFirstMatchIn(name) match {
+                  case Some(m) =>
+                    m.group(1).toLong <= delApplied &&
+                      !Files.exists(Paths.get(root,
+                        s"deletes-d${m.group(1)}.manifest.json"))
+                  case None => false
+                }
             }
           }.toSeq
           finally s2.close()
         orphans.foreach(deleteRecursively)
-        // superseded compactions: every compacted-M with M < n is a
-        // full index copy the newest compaction replaces — without
-        // this, each compact cycle leaks O(index size) on disk. The
-        // newest complete compaction is never touched, so a crash mid-
-        // delete cannot change what latestCompaction resolves to.
+        // superseded compactions: every committed compaction ordering
+        // strictly BEFORE (batch, delSeq) of the newest is a full index
+        // copy the newest replaces — without this, each compact cycle
+        // leaks O(index size) on disk. The newest complete compaction
+        // is never touched, so a crash mid-delete cannot change what
+        // latestCompactionInfo resolves to.
         val s3 = Files.list(Paths.get(root))
         val oldCompactions =
           try s3.iterator().asScala.filter { p =>
-            val name = p.getFileName.toString
-            name.startsWith("compacted-") &&
-              name.stripPrefix("compacted-").toLong < n
+            p.getFileName.toString match {
+              case CompactionName(b, d) =>
+                val key = (b.toLong, Option(d).map(_.toLong).getOrElse(-1L))
+                Ordering.Tuple2[Long, Long].lt(key, (comp.batch, comp.delSeq))
+              case _ => false
+            }
           }.toSeq
           finally s3.close()
         oldCompactions.foreach(deleteRecursively)
@@ -332,10 +447,22 @@ object StreamingIndexer {
     * silently mis-prune the query paths. */
   def loadMerged(spark: SparkSession, root: String,
       cfg: IndexConfig = IndexConfig()): InvertedIndex = {
-    val base = latestCompaction(root)
-    val minBatch = base.map(_ + 1).getOrElse(0L)
-    mergeSnapshot(spark, root, base,
+    val base = latestCompactionInfo(root)
+    val minBatch = base.map(_.batch + 1).getOrElse(0L)
+    val idx = mergeSnapshot(spark, root, base.map(_.dir),
       completeBatches(root).filter(_ >= minBatch), cfg)
+    // delete tables newer than what the base compaction physically
+    // applied ride along as TOMBSTONES: every query path anti-joins
+    // them (Searcher live-dl side) until the next compact() absorbs
+    // them. Unioning a table the base already applied (possible when
+    // the applied-marker was lost to a crash) is an idempotent no-op.
+    val baseApplied = base
+      .map(c => appliedDeletesThrough(s"$root/${c.dir}")).getOrElse(-1L)
+    val pending = deleteSeqs(root).filter(_ > baseApplied)
+    if (pending.isEmpty) idx
+    else idx.withDeletes(
+      pending.map(sq => TableFormat.read(spark, root, s"deletes-d$sq"))
+        .reduce(_ union _))
   }
 
   /** Merge a FIXED snapshot of (compaction base, complete batch ids) —
@@ -348,7 +475,7 @@ object StreamingIndexer {
   private def mergeSnapshot(
       spark: SparkSession,
       root: String,
-      compacted: Option[Long],
+      compactedDir: Option[String],
       batches: Seq[Long],
       cfg: IndexConfig): InvertedIndex = {
     // shard width + analyzer restored from ingest_config.json: the
@@ -359,15 +486,19 @@ object StreamingIndexer {
         analyzer = analyzerName.map(graft.analysis.TextAnalyzers.byName)
           .getOrElse(cfg.analyzer))
     }.getOrElse(cfg)
-    val base = compacted.map(n => s"$root/compacted-$n")
+    val base = compactedDir.map(n => s"$root/$n")
     require(batches.nonEmpty || base.nonEmpty,
       s"no committed segments under $root")
+    // unionByName, not positional union: a base compaction's docs table
+    // can have a different column ORDER than raw segment tables (e.g.
+    // after a delete-applying rewrite), and a positional union would
+    // silently misalign columns instead of failing
     val docParts = base.map(TableFormat.read(spark, _, "docs")).toSeq ++
       batches.map(id => TableFormat.read(spark, root, s"docs-b$id"))
-    val docs = docParts.reduce(_ union _)
+    val docs = docParts.reduce(_ unionByName _)
     val postParts = base.map(TableFormat.read(spark, _, "postings")).toSeq ++
       batches.map(id => TableFormat.read(spark, root, s"postings-b$id"))
-    val partials = postParts.reduce(_ union _)
+    val partials = postParts.reduce(_ unionByName _)
     val postings = IndexBuilder.mergeSegmentRows(partials, effCfg)
     val termStats = postings.groupBy("field", "term").agg(
       sum("df").as("df"), sum("cf").as("cf"), max("maxTf").as("maxTf"))

@@ -106,7 +106,10 @@ object IndexTables {
     } finally pool.shutdown()
   }
 
-  def load(spark: SparkSession, root: String): InvertedIndex = {
+  /** Parse ONLY stats.json — (stats, config) without touching any
+    * table data. Lets callers tokenize/validate a query against the
+    * snapshot's analyzer before paying the table load. */
+  def loadStatsAndConfig(root: String): (CorpusStats, IndexConfig) = {
     val txt = Files.readString(Paths.get(root, "stats.json"))
     val num = "\"numDocs\":([0-9]+)".r.findFirstMatchIn(txt).get.group(1).toLong
     val avg = "\"avgDocLen\":([0-9.Ee+-]+)".r.findFirstMatchIn(txt).get.group(1).toDouble
@@ -118,11 +121,16 @@ object IndexTables {
     val analyzer = "\"analyzer\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
       .map(m => graft.analysis.TextAnalyzers.byName(m.group(1)))
       .getOrElse(graft.analysis.Analyzer)
+    (CorpusStats(num, avg), IndexConfig(shardSizeDocs = shard, analyzer = analyzer))
+  }
+
+  def load(spark: SparkSession, root: String): InvertedIndex = {
+    val (stats, cfg) = loadStatsAndConfig(root)
     InvertedIndex(
       TableFormat.read(spark, root, "docs"),
       TableFormat.read(spark, root, "postings"),
       TableFormat.read(spark, root, "termStats"),
-      CorpusStats(num, avg),
-      IndexConfig(shardSizeDocs = shard, analyzer = analyzer))
+      stats,
+      cfg)
   }
 }

@@ -84,6 +84,23 @@ object Demo {
         s.scoredDocs(terms).select("docId", "score"), emb,
         graft.pipeline.TextPipeline.queryVec(emb, 0L), alpha = 0.5, k = 3))
     }
+    // deletion: tombstone the current top hit (read-time anti-join,
+    // stale stats), then apply physically (rewritten postings, live
+    // stats) — the old top doc must vanish from both
+    locally {
+      import org.apache.spark.sql.functions.col
+      val topDoc = s.topK(terms, 1).collect().headOption.map(_.getLong(0))
+      topDoc.foreach { d =>
+        val tomb = index.withDeletes(
+          spark.range(d, d + 1).toDF("docId"))
+        show(s"del/tomb", new Searcher(spark, tomb).topKWand(terms, 3))
+        val applied = graft.build.Deletes.applied(spark, tomb)
+        show(s"del/phys", new Searcher(spark, applied).topK(terms, 3))
+        println(s"[del/stats] N ${index.stats.numDocs} -> ${applied.stats.numDocs}" +
+          s" (deleted doc $d; live docs exclude it: " +
+          s"${applied.docs.where(col("docId") === d).count() == 0})")
+      }
+    }
     spark.stop()
   }
 }

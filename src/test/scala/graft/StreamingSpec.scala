@@ -300,4 +300,84 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.toSeq === Seq((100L, 2L, 5L), (110L, 1L, 4L)))
     } finally q.stop()
   }
+
+  test("delete lifecycle: tombstones at load, physical apply at compact, prune reclaims applied deletes") {
+    import spark.implicits._
+    def P(parts: String*) = java.nio.file.Paths.get(parts.head, parts.tail: _*)
+    val root = Files.createTempDirectory("graft_del_stream").toString
+    val cfg = IndexConfig(shardSizeDocs = 32)
+    def writeSeg(id: Long, range: Range): Unit = {
+      val idx = IndexBuilder.fromText(spark,
+        range.map(i => mkDoc(i.toLong)).toDF("doc_id", "text"), "doc_id", "text", Nil, cfg)
+      graft.table.TableFormat.write(spark, idx.docs, root, s"docs-b$id", id + 1)
+      graft.table.TableFormat.write(spark, idx.postings, root, s"postings-b$id", id + 1)
+    }
+    writeSeg(0L, 0 until 50)
+    writeSeg(1L, 50 until 100)
+
+    // 1) a delete batch becomes a committed tombstone table…
+    assert(StreamingIndexer.deleteIds(spark, root, Seq(3L, 42L, 77L)) === 0L)
+    // …and loadMerged anti-joins it on every query path
+    val merged = StreamingIndexer.loadMerged(spark, root, cfg)
+    assert(merged.deletes.isDefined)
+    val hits = new Searcher(spark, merged).topK(Seq("merge"), 200)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits.size === 97 && !hits(3L) && !hits(42L) && !hits(77L))
+    // stale-stats contract: N still counts tombstoned docs pre-compact
+    assert(merged.stats.numDocs === 100)
+
+    // 2) compact applies PHYSICALLY: docs/postings rewritten, stats live
+    val compacted = StreamingIndexer.compact(spark, root, cfg)
+    assert(compacted.stats.numDocs === 97)
+    assert(compacted.docs.where($"docId".isin(3L, 42L, 77L)).count() === 0L)
+    val info = StreamingIndexer.latestCompactionInfo(root).get
+    assert(info.dir === "compacted-1-d0" && info.batch === 1L && info.delSeq === 0L)
+    assert(Files.exists(P(root, "compacted-1-d0", "deletes_applied.json")))
+    // equivalent to a fresh batch build over the surviving rows
+    val fresh = IndexBuilder.fromText(spark,
+      (0L until 100L).filterNot(Set(3L, 42L, 77L)).map(mkDoc).toDF("doc_id", "text"),
+      "doc_id", "text", Nil, cfg)
+    val qc = new Searcher(spark, compacted).topK(Seq("spark", "gamma3"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val qf = new Searcher(spark, fresh).topK(Seq("spark", "gamma3"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(qc.toSeq === qf.toSeq)
+
+    // 3) post-compact load attaches NO tombstones (applied marker read)
+    val merged2 = StreamingIndexer.loadMerged(spark, root, cfg)
+    assert(merged2.deletes.isEmpty && merged2.stats.numDocs === 97)
+
+    // 4) deletes arriving AFTER a compaction tombstone at load again
+    assert(StreamingIndexer.deleteIds(spark, root, Seq(10L)) === 1L)
+    val merged3 = StreamingIndexer.loadMerged(spark, root, cfg)
+    assert(merged3.deletes.isDefined)
+    assert(!new Searcher(spark, merged3).topK(Seq("merge"), 200)
+      .collect().map(_.getLong(0)).contains(10L))
+
+    // 5) a deletes-only compaction (no new segments) gets a FRESH name
+    //    that orders after its base
+    val c2 = StreamingIndexer.compact(spark, root, cfg)
+    assert(c2.stats.numDocs === 96)
+    assert(StreamingIndexer.latestCompactionInfo(root).get.dir === "compacted-1-d1")
+
+    // 6) prune reclaims covered segments, APPLIED delete tables and the
+    //    superseded compaction — and the root still loads
+    val pruned = StreamingIndexer.pruneSegments(root)
+    assert(pruned === Seq(0L))
+    assert(!Files.exists(P(root, "deletes-d0.manifest.json")))
+    assert(!Files.exists(P(root, "deletes-d1.manifest.json")))
+    assert(!Files.exists(P(root, "compacted-1-d0")))
+    assert(Files.exists(P(root, "compacted-1-d1")))
+    val after = StreamingIndexer.loadMerged(spark, root, cfg)
+    assert(after.stats.numDocs === 96 && after.deletes.isEmpty)
+
+    // 7) a later segment + compact carries the applied watermark forward
+    writeSeg(2L, 100 until 110)
+    val c3 = StreamingIndexer.compact(spark, root, cfg)
+    assert(c3.stats.numDocs === 106)
+    assert(StreamingIndexer.latestCompactionInfo(root).get.dir === "compacted-2-d1")
+    // the new compaction's doc set = survivors + the new segment
+    val ids = c3.docs.select("docId").collect().map(_.getLong(0)).toSet
+    assert(!ids(3L) && !ids(10L) && ids(105L))
+  }
 }
