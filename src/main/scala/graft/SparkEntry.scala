@@ -37,6 +37,8 @@ object SparkEntry {
     "tfidf_legacy" -> ((s, d) => E.tfidfLegacy(s, d)),
     "phrase_bm25" -> ((s, d) => E.phraseBm25(s, d)),
     "sort_topk" -> ((s, d) => E.sortTopK(s, d)),
+    "sort_topk2" -> ((s, d) => E.sortTopK2(s, d)),
+    "term_vector" -> ((s, d) => E.termVector(s, d, 3L)),
     "fetch_docs" -> ((s, d) => E.fetchDocs(s, d)),
     "sha256_rows" -> ((s, d) => E.shaRows(s, d)),
     "match_sql" -> ((s, d) => E.matchSql(s, d)),

@@ -185,6 +185,16 @@ SELECT s.doc_id, d.lang, round(s.s, 4) AS score
 FROM scored s JOIN documents d USING (doc_id)
 ORDER BY d.lang ASC, s.s DESC, s.doc_id LIMIT 15"""),
 
+    // multi-key field sort: lang asc, then n_chars desc, then score
+    "sort_topk2" -> (TOK + bm25Scored(Seq("spark")) + """
+SELECT s.doc_id, d.lang, d.n_chars, round(s.s, 4) AS score
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY d.lang ASC, d.n_chars DESC, s.s DESC, s.doc_id LIMIT 15"""),
+
+    // term vector of one doc = its emitted (term, tf) rows
+    "term_vector" -> (TOK + """
+SELECT term, count(*)::BIGINT AS tf FROM emitted WHERE doc_id = 3 GROUP BY term"""),
+
     "fetch_docs" -> (TOK + bm25Scored(Seq("merge")) + """
 , top AS (SELECT doc_id, s FROM scored ORDER BY s DESC, doc_id LIMIT 5)
 SELECT t.doc_id, round(t.s, 4) AS score, d.lang, d.n_chars

@@ -386,12 +386,53 @@ final class Searcher(
       sortCol: String,
       ascending: Boolean,
       k: Int,
+      scorer: Scorer = BM25()): DataFrame =
+    sortedTopKMulti(terms, Seq((sortCol, ascending)), k, scorer)
+
+  /** Multi-key field sort — EXCEEDS the reference, which throws on
+    * more than one sort field (HBaseIndexSearcher.java:95-97): each
+    * (column, ascending) key in order, then score desc, then docId asc
+    * (deterministic final tiebreak). Spark plans the whole thing as
+    * one TakeOrderedAndProject over the scoring join. */
+  def sortedTopKMulti(
+      terms: Seq[String],
+      sortCols: Seq[(String, Boolean)],
+      k: Int,
       scorer: Scorer = BM25()): DataFrame = {
+    require(sortCols.nonEmpty, "at least one sort key required")
     val scored = scoredDocs(terms, scorer)
-    val joined = scored.join(index.docs.select(col("docId"), col(sortCol)), Seq("docId"))
-    val ord = if (ascending) asc(sortCol) else desc(sortCol)
-    joined.orderBy(ord, desc("score"), asc("docId")).limit(k)
-      .select(col("docId"), col(sortCol), col("score"))
+    val joined = scored.join(
+      index.docs.select((Seq("docId") ++ sortCols.map(_._1)).distinct.map(col): _*),
+      Seq("docId"))
+    val ords = sortCols.map { case (c, asc_) => if (asc_) asc(c) else desc(c) } ++
+      Seq(desc("score"), asc("docId"))
+    joined.orderBy(ords: _*).limit(k)
+      .select((Seq(col("docId")) ++ sortCols.map(c => col(c._1)).distinct
+        :+ col("score")): _*)
+  }
+
+  /** Term/tf/positions vector of ONE stored doc by re-analysis of its
+    * stored content with the index's own analyzer — the reader-SPI
+    * surface the reference declares but stubs entirely
+    * (HBaseTermFreqVector.java:39-74). Requires the content column to
+    * be stored (IndexConfig.storeContent); equality with the index's
+    * postings for the doc is asserted in tests (same analyzer ⇒ same
+    * token stream by construction). A driver-side point lookup — this
+    * is a single-doc debugging/SPI call, not a scan operator. */
+  def docTermVector(docId: Long): DataFrame = {
+    val rows = index.docs.where(col("docId") === docId)
+      .select(field).limit(1).collect()
+    require(rows.nonEmpty,
+      s"docId $docId not found (or content not stored) — docTermVector " +
+        "re-analyzes the stored content column")
+    val text = rows.head.getString(0)
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+    if (text != null)
+      index.config.analyzer.foreachEmitted(text) { (t, p) =>
+        m.getOrElseUpdate(t, scala.collection.mutable.ArrayBuffer.empty[Int]) += p
+      }
+    m.iterator.map { case (t, ps) => (t, ps.length.toLong, ps.toSeq) }.toSeq
+      .toDF("term", "tf", "positions")
   }
 
   /** Ordered term-dictionary scan from a given term (reference C1/A6,
