@@ -179,7 +179,20 @@ object ScalingBench {
         IndexConfig(shardSizeDocs = 1L << 16, storeContent = false)).cache()
       idx.postings.count(); idx.docs.count()
       val s = new Searcher(spark, idx)
+      // deterministic synthetic embeddings as a COMPUTED range (one
+      // 8-dim vector per docId, no materialization): the hybrid probe
+      // measures the WAND-candidate fusion path at corpus scale — the
+      // candidate set (top-M lexical) broadcasts and the embedding
+      // side is the probe of the inner join
+      val emb = spark.range(numFiles).select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 7), j -> " +
+          "cast(pmod(id * 31 + j * 7919, 97) as float) / 97.0 - 0.5)")
+          .as("embedding"))
+      val qvec = Array.tabulate(8)(j => ((31 + j * 7919) % 97) / 97.0 - 0.5)
       val queries: Seq[(String, () => Unit)] = Seq(
+        "hybrid_wand" -> (() => graft.pipeline.TextPipeline.hybridTopK(
+          s.topKWand(Seq("id17", "return", "id999"), 100), emb, qvec,
+          alpha = 0.5, k = 10).collect()),
         "single_rare" -> (() => s.topK(Seq("id9423"), 10).collect()),
         "single_skew" -> (() => s.topK(Seq("public"), 10).collect()),
         "and_skew" -> (() => s.topK(Seq("import", "class"), 10, requireAll = true).collect()),
