@@ -98,6 +98,15 @@ final class InvertedIndex(
       Some(deletes.map(_.union(norm)).getOrElse(norm)))
   }
 
+  /** Drop every tombstone (the reference's `undeleteAll`,
+    * HBaseIndexReader.java:125-128): tombstones are read-time state on
+    * this handle, so un-deleting is just forgetting them — possible
+    * only BEFORE a physical apply/compaction rewrites the tables
+    * (after that the docs are gone, same as Lucene post-merge). */
+  def undeleteAll(): InvertedIndex =
+    if (deletes.isEmpty) this
+    else new InvertedIndex(docs, postings, termStats, statsThunk, config, None)
+
   def cache(): InvertedIndex = {
     docs.cache(); postings.cache(); termStats.cache(); this
   }

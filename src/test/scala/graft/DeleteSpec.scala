@@ -199,5 +199,12 @@ class DeleteSpec extends AnyFunSuite {
     val idx2 = idx.withDeletes(Seq(7L).toDF("x"))
     assert(new Searcher(spark, idx2).topK(Seq("haystack"), 100).collect()
       .forall(r => r.getLong(0) >= 5 && r.getLong(0) != 7L))
+    // undeleteAll (reference HBaseIndexReader.java:125-128): dropping
+    // the tombstones restores the original results exactly
+    val undeleted = new Searcher(spark, idx2.undeleteAll()).topK(Seq("needle"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val original = new Searcher(spark, base).topK(Seq("needle"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(undeleted === original && undeleted.nonEmpty)
   }
 }

@@ -98,6 +98,23 @@ class PlanSpec extends AnyFunSuite {
       || plan.contains("LeftSemi"), plan.take(3000))
   }
 
+  test("tombstoned index keeps pushdown and plans deletes as an anti-join") {
+    val idx = diskIndex.withDeletes(Seq(1L, 2L).toDF("docId"))
+    val s = new Searcher(spark, idx)
+    val df = s.topK(Seq("merge"), 5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // postings scan still term-pruned; deletes enter as LeftAnti (no
+    // cartesian, no filter-after-collect)
+    assert(plan.contains("PushedFilters"), plan.take(2000))
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"))
+    val wdf = s.topKWand(Seq("merge"), 5)
+    wdf.collect()
+    val wplan = wdf.queryExecution.executedPlan.toString
+    assert(wplan.contains("LeftAnti"), wplan.take(3000))
+  }
+
   test("whole-stage codegen covers the scoring pipeline") {
     val s = new Searcher(spark, diskIndex)
     val df = s.scoredDocs(Seq("merge"), graft.query.BM25())
