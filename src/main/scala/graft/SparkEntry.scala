@@ -34,6 +34,10 @@ object SparkEntry {
     "bm25_or" -> ((s, d) => E.bm25Or(s, d)),
     "bm25_and" -> ((s, d) => E.bm25And(s, d)),
     "bm25_wand" -> ((s, d) => E.bm25Wand(s, d)),
+    "bm25_not" -> ((s, d) => E.bm25Not(s, d)),
+    "prefix_topk" -> ((s, d) => E.prefixTopK(s, d)),
+    "wildcard_topk" -> ((s, d) => E.wildcardTopK(s, d)),
+    "range_topk" -> ((s, d) => E.rangeTopK(s, d)),
     "tfidf_legacy" -> ((s, d) => E.tfidfLegacy(s, d)),
     "phrase_bm25" -> ((s, d) => E.phraseBm25(s, d)),
     "sort_topk" -> ((s, d) => E.sortTopK(s, d)),

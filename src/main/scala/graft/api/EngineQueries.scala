@@ -119,6 +119,28 @@ object EngineQueries {
       .select(col("docId").cast("long").as("doc_id"),
         round(col("score"), 4).as("score"), col("lang"), col("n_chars"))
 
+  /** Boolean MUST_NOT (Lucene prohibited clauses the reference
+    * inherits through its reader SPI) through the WAND path: the
+    * excluded term's postings ride the cogroup as exclusion-only
+    * iterators. */
+  def bm25Not(s: SparkSession, dir: String): DataFrame =
+    asTopK(searcher(s, dir).topKWand(Seq("spark", "merge"), 10,
+      mustNot = Seq("window")))
+
+  /** Prefix query (Lucene PrefixQuery via TermEnum seek): dictionary
+    * expansion + disjunctive WAND over the expansion. */
+  def prefixTopK(s: SparkSession, dir: String): DataFrame =
+    asTopK(searcher(s, dir).prefixTopK("s", 10))
+
+  /** Wildcard query (Lucene WildcardQuery): `s?a*` — leading literal
+    * pushes down, residual anchored regex on the dictionary. */
+  def wildcardTopK(s: SparkSession, dir: String): DataFrame =
+    asTopK(searcher(s, dir).wildcardTopK("s?a*", 10))
+
+  /** Term-range query (Lucene TermRangeQuery): terms in ["h", "k"). */
+  def rangeTopK(s: SparkSession, dir: String): DataFrame =
+    asTopK(searcher(s, dir).rangeTopK(Some("h"), Some("k"), 10))
+
   def shaRows(s: SparkSession, dir: String): DataFrame =
     index(s, dir).docs.select(col("docId").as("doc_id"),
       col("content_sha256").as("sha"))

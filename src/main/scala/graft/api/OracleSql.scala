@@ -48,15 +48,19 @@ corpus AS (
   private def inList(terms: Seq[String]): String =
     terms.map(t => s"'$t'").mkString("(", ", ", ")")
 
-  /** BM25 scored CTE over a term list (k1=1.2, b=0.75 — mirrors
-    * Scorers.BM25.contributionCol shape exactly). */
-  private def bm25Scored(terms: Seq[String]): String = s"""
+  /** BM25 scored CTE over a term PREDICATE (k1=1.2, b=0.75 — mirrors
+    * Scorers.BM25.contributionCol shape exactly). The predicate form
+    * also recomputes the term-expansion queries (prefix / wildcard /
+    * range): the engine expands the dictionary then WAND-ORs the
+    * expansion with per-term idf, which is exactly Σ over all terms
+    * matching the predicate. */
+  private def bm25ScoredPred(pred: String): String = s"""
 , tf AS (
   SELECT doc_id, term, count(*)::DOUBLE AS tf FROM emitted
-  WHERE term IN ${inList(terms)} GROUP BY 1, 2),
+  WHERE $pred GROUP BY 1, 2),
 dfq AS (
   SELECT term, count(*)::DOUBLE AS df FROM
-    (SELECT DISTINCT doc_id, term FROM emitted WHERE term IN ${inList(terms)})
+    (SELECT DISTINCT doc_id, term FROM emitted WHERE $pred)
   GROUP BY 1),
 scored AS (
   SELECT t.doc_id,
@@ -66,10 +70,25 @@ scored AS (
   FROM tf t JOIN dfq f USING (term) JOIN dl d USING (doc_id) CROSS JOIN corpus c
   GROUP BY t.doc_id)"""
 
-  private def bm25TopK(terms: Seq[String], k: Int, requireAll: Boolean): String =
+  private def bm25Scored(terms: Seq[String]): String =
+    bm25ScoredPred(s"term IN ${inList(terms)}")
+
+  private def bm25TopK(terms: Seq[String], k: Int, requireAll: Boolean,
+      mustNot: Seq[String] = Nil): String =
     TOK + bm25Scored(terms) + s"""
 SELECT doc_id, round(s, 4) AS score FROM scored
-${if (requireAll) s"WHERE m = ${terms.length}" else ""}
+WHERE TRUE
+${if (requireAll) s"AND m = ${terms.length}" else ""}
+${if (mustNot.nonEmpty)
+      s"AND doc_id NOT IN (SELECT DISTINCT doc_id FROM emitted WHERE term IN ${inList(mustNot)})"
+    else ""}
+ORDER BY s DESC, doc_id LIMIT $k"""
+
+  /** Term-expansion top-k (prefix / wildcard / range): BM25 over every
+    * dictionary term matching the predicate. */
+  private def expansionTopK(pred: String, k: Int): String =
+    TOK + bm25ScoredPred(pred) + s"""
+SELECT doc_id, round(s, 4) AS score FROM scored
 ORDER BY s DESC, doc_id LIMIT $k"""
 
   /** BM25-scored phrase "hash join" (consecutive emitted positions) —
@@ -117,6 +136,11 @@ WHERE term IN ('spark', 'merge', 'window', 'dup') GROUP BY 1"""),
     "bm25_and" -> bm25TopK(Seq("spark", "merge"), 10, requireAll = true),
     // WAND must be rank-identical to the exhaustive plan → same oracle
     "bm25_wand" -> bm25TopK(Seq("spark", "merge", "window"), 10, requireAll = false),
+    "bm25_not" -> bm25TopK(Seq("spark", "merge"), 10, requireAll = false,
+      mustNot = Seq("window")),
+    "prefix_topk" -> expansionTopK("term LIKE 's%'", 10),
+    "wildcard_topk" -> expansionTopK("regexp_matches(term, '^s.a.*$')", 10),
+    "range_topk" -> expansionTopK("term >= 'h' AND term < 'k'", 10),
     // the SQL TVF surface substitutes the SAME analyzed WAND plan →
     // rank-identical to the exhaustive oracle by construction
     "match_sql" -> bm25TopK(Seq("spark", "merge", "window"), 10, requireAll = false),

@@ -58,6 +58,14 @@ final class Searcher(
       rows.groupBy(_._1).map { case (t, rs) => t -> rs.iterator.map(_._3).sum }
     /** Shards holding postings for ANY query term, sorted. */
     val shards: Array[Long] = rows.map(_._2).distinct.sorted
+    /** Shards holding postings for ANY of the GIVEN terms (MUST_NOT
+      * queries prune on the required terms only — a shard holding just
+      * excluded terms can't produce a hit). */
+    def shardsWith(terms: Seq[String]): Array[Long] = {
+      val want = terms.toSet
+      rows.iterator.collect { case (t, s, _) if want(t) => s }
+        .toArray.distinct.sorted
+    }
     /** Shards holding postings for EVERY given term (conjunctive /
       * phrase pruning: a shard missing one term can't produce a hit). */
     def shardsWithAll(terms: Seq[String]): Array[Long] = {
@@ -164,11 +172,18 @@ final class Searcher(
 
   /** Exhaustive exact top-k. Deterministic: per-(term,doc) contribution
     * → collect_list sorted by term → fixed-order fold; order by
-    * (score desc, docId asc). Returns (docId, score, nMatched). */
+    * (score desc, docId asc). Returns (docId, score, nMatched).
+    *
+    * `mustNot` — Lucene BooleanQuery prohibited clauses (the reference
+    * inherits them through its reader SPI): docs containing ANY of the
+    * excluded terms are dropped via a left_anti join on docId, which
+    * reuses the aggregation's docId partitioning (no extra shuffle
+    * shape) and decodes only the excluded terms' own postings. */
   def scoredDocs(
       terms: Seq[String],
       scorer: Scorer = BM25(),
-      requireAll: Boolean = false): DataFrame = {
+      requireAll: Boolean = false,
+      mustNot: Seq[String] = Nil): DataFrame = {
     val qTerms = terms.distinct.sorted
     val meta = collectMeta(qTerms)
     val dfs = meta.dfs
@@ -193,16 +208,28 @@ final class Searcher(
     // — locals only in the closure, Searcher itself is not serializable
     val (sc, qd, st) = (scorer, queryDfs, stats)
     val factorUdf = udf((n: Int) => sc.docFactor(n, qd, st))
-    filtered.withColumn("score", col("rawScore") * factorUdf(col("nMatched")))
+    val scored = filtered
+      .withColumn("score", col("rawScore") * factorUdf(col("nMatched")))
       .select("docId", "score", "nMatched")
+    val exTerms = mustNot.distinct.filterNot(qTerms.contains)
+    // a term both required and prohibited matches nothing (Lucene
+    // BooleanQuery contract) — requireAll makes it literal; in OR mode
+    // the exclusion still wins, so just exclude the overlap too
+    val exAll = mustNot.distinct
+    if (exAll.isEmpty) scored
+    else if (requireAll && exTerms.length != exAll.length)
+      Seq.empty[(Long, Double, Int)].toDF("docId", "score", "nMatched")
+    else scored.join(
+      matches(exAll).toDF().select("docId").distinct(), Seq("docId"), "left_anti")
   }
 
   def topK(
       terms: Seq[String],
       k: Int,
       scorer: Scorer = BM25(),
-      requireAll: Boolean = false): DataFrame =
-    scoredDocs(terms, scorer, requireAll)
+      requireAll: Boolean = false,
+      mustNot: Seq[String] = Nil): DataFrame =
+    scoredDocs(terms, scorer, requireAll, mustNot)
       .orderBy(desc("score"), asc("docId"))
       .limit(k)
       .select("docId", "score")
@@ -229,23 +256,34 @@ final class Searcher(
       terms: Seq[String],
       k: Int,
       scorer: Scorer = BM25(),
-      requireAll: Boolean = false): DataFrame = {
+      requireAll: Boolean = false,
+      mustNot: Seq[String] = Nil): DataFrame = {
     val qTerms = terms.distinct.sorted
-    val meta = collectMeta(qTerms)
+    // MUST_NOT terms ride the same cogroup as exclusion-only iterators
+    // (Lucene ReqExclScorer): their postings are fetched per shard but
+    // never scored and never contribute to shard pruning
+    val exTerms = mustNot.distinct.sorted
+    if (requireAll && exTerms.exists(qTerms.contains))
+      return Seq.empty[(Long, Double)].toDF("docId", "score") // MUST ∧ MUST_NOT
+    val meta = collectMeta(qTerms ++ exTerms)
     val dfs = meta.dfs
     val queryDfs = qTerms.map(t => dfs.getOrElse(t, 0L).toDouble)
     val nQueryTerms = qTerms.size
     val st = stats
     val scorerB = scorer
+    val exSet = exTerms.toSet
 
-    // Only shards that actually hold postings for the query's terms can
-    // produce hits — and in AND mode only shards holding EVERY term
-    // (one missing term posting row forecloses the whole shard). The
-    // shard set comes from the single metadata collect: no discovery
-    // job, and the postings scan itself is pruned in AND mode too.
+    // Only shards that actually hold postings for the query's REQUIRED
+    // terms can produce hits — and in AND mode only shards holding
+    // EVERY required term (one missing term posting row forecloses the
+    // whole shard). The shard set comes from the single metadata
+    // collect: no discovery job, and the postings scan itself is
+    // pruned in AND mode too.
     val touched =
-      if (requireAll) meta.shardsWithAll(qTerms) else meta.shards
-    val prows = pruneShards(postingRows(qTerms).toDF(), touched)
+      if (requireAll) meta.shardsWithAll(qTerms)
+      else if (exTerms.isEmpty) meta.shards
+      else meta.shardsWith(qTerms)
+    val prows = pruneShards(postingRows(qTerms ++ exTerms).toDF(), touched)
       .as[PostingRow].groupByKey(_.shard)
     val dls = pruneShards(dlWithShard, touched)
       .select(col("docId"), col("dl"), col("shard"))
@@ -254,20 +292,21 @@ final class Searcher(
 
     val perShard: Dataset[ScoredDoc] = prows.cogroup(dls) {
       (_: Long, ps: Iterator[PostingRow], ds: Iterator[(Long, Double, Long)]) =>
-        val rows = ps.toArray
+        val (exRows, rows) = ps.toArray.partition(r => exSet(r.term))
         if (rows.isEmpty) Iterator.empty
         else {
           val dlMap = new scala.collection.mutable.LongMap[Double]()
           ds.foreach { case (d, dl, _) => dlMap.update(d, dl) }
-          val iters = rows.map { r =>
+          def mkIter(r: PostingRow): TermIterator = {
             val df = dfs.getOrElse(r.term, 0L).toDouble
             new TermIterator(r.term, df,
               scorerB.upperBound(r.maxTf.toDouble, df, st), scorerB, st,
               new PostingsCodec.BlobView(r.blob))
-          }.toSeq
+          }
           // NaN = "not live" (deleted or unknown): Wand skips the doc
-          Wand.topK(iters, d => dlMap.getOrElse(d, Double.NaN), scorerB, st, k,
-            requireAll, nQueryTerms, queryDfs).iterator
+          Wand.topK(rows.map(mkIter).toSeq, d => dlMap.getOrElse(d, Double.NaN),
+            scorerB, st, k, requireAll, nQueryTerms, queryDfs,
+            excludeIters = exRows.map(mkIter).toSeq).iterator
         }
     }
     perShard.toDF()
@@ -455,6 +494,92 @@ final class Searcher(
       .orderBy(asc("field"), asc("term"))
       .limit(limit)
       .select("field", "term", "df", "cf")
+
+  /** Expand dictionary terms matching a predicate, term-ascending,
+    * bounded: the scale contract of every Lucene MultiTermQuery the
+    * reference inherits through its TermEnum SPI (BooleanQuery
+    * rewrite throws TooManyClauses past the clause cap). The collect
+    * is ≤ maxExpansions+1 strings — driver-bounded by construction. */
+  private def expandTerms(
+      pred: org.apache.spark.sql.Column,
+      label: String,
+      maxExpansions: Int): Seq[String] = {
+    val ts = index.termStats
+      .where(col("field") === field && pred)
+      .orderBy(asc("term")).limit(maxExpansions + 1)
+      .select("term").collect().map(_.getString(0)).toSeq
+    require(ts.length <= maxExpansions,
+      s"$label expands to more than maxExpansions=$maxExpansions terms " +
+        "(Lucene BooleanQuery.TooManyClauses contract) — narrow the " +
+        "pattern or raise maxExpansions")
+    ts
+  }
+
+  private def emptyHits: DataFrame =
+    Seq.empty[(Long, Double)].toDF("docId", "score")
+
+  /** Prefix query (Lucene PrefixQuery via the reference's TermEnum
+    * seek, HBaseTermEnum.skipTo): expand the dictionary — a pushed
+    * StringStartsWith + range scan, the same A6 surface as termEnum —
+    * then rank the expansion as a disjunctive WAND query (Lucene
+    * SCORING_BOOLEAN_QUERY_REWRITE semantics: per-term idf, not
+    * constant-score). */
+  def prefixTopK(
+      prefix: String,
+      k: Int,
+      scorer: Scorer = BM25(),
+      maxExpansions: Int = 1024): DataFrame = {
+    require(prefix.nonEmpty, "empty prefix would expand the whole dictionary")
+    val ts = expandTerms(col("term").startsWith(prefix), s"prefix '$prefix'",
+      maxExpansions)
+    if (ts.isEmpty) emptyHits else topKWand(ts, k, scorer)
+  }
+
+  /** Wildcard query (Lucene WildcardQuery): `*` = any run, `?` = any
+    * one char, everything else literal. The leading literal run pushes
+    * down as a prefix range scan; the residual pattern applies as an
+    * anchored regex on the dictionary. A leading wildcard forces a
+    * full dictionary scan — same caveat as Lucene, and still only a
+    * scan of the TERM DICTIONARY (∝ vocabulary, not corpus). */
+  def wildcardTopK(
+      pattern: String,
+      k: Int,
+      scorer: Scorer = BM25(),
+      maxExpansions: Int = 1024): DataFrame = {
+    require(pattern.exists(c => c != '*' && c != '?'),
+      s"wildcard pattern '$pattern' has no literal characters")
+    val litPrefix = pattern.takeWhile(c => c != '*' && c != '?')
+    val rx = "^" + pattern.map {
+      case '*' => ".*"
+      case '?' => "."
+      case c => java.util.regex.Pattern.quote(c.toString)
+    }.mkString + "$"
+    val pred =
+      if (litPrefix.isEmpty) col("term").rlike(rx)
+      else col("term").startsWith(litPrefix) && col("term").rlike(rx)
+    val ts = expandTerms(pred, s"wildcard '$pattern'", maxExpansions)
+    if (ts.isEmpty) emptyHits else topKWand(ts, k, scorer)
+  }
+
+  /** Term-range query (Lucene TermRangeQuery; reference A6 range scan):
+    * rank docs containing any dictionary term in [lo, hi] / (lo, hi)
+    * per the inclusive flags; a None bound is open. */
+  def rangeTopK(
+      lo: Option[String],
+      hi: Option[String],
+      k: Int,
+      includeLo: Boolean = true,
+      includeHi: Boolean = false,
+      scorer: Scorer = BM25(),
+      maxExpansions: Int = 1024): DataFrame = {
+    require(lo.nonEmpty || hi.nonEmpty, "unbounded on both ends")
+    val preds = Seq(
+      lo.map(v => if (includeLo) col("term") >= v else col("term") > v),
+      hi.map(v => if (includeHi) col("term") <= v else col("term") < v)).flatten
+    val ts = expandTerms(preds.reduce(_ && _),
+      s"range [${lo.getOrElse("")}, ${hi.getOrElse("")}]", maxExpansions)
+    if (ts.isEmpty) emptyHits else topKWand(ts, k, scorer)
+  }
 
   /** docKey → docId point lookup (the reference's doc2int reverse map,
     * HBaseIndexStore.java:154-159) — for re-indexing or joining

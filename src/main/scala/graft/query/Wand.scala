@@ -129,7 +129,16 @@ object Wand {
     *   docs). Double.NaN marks a NON-LIVE doc (tombstoned / absent
     *   from the live dl side): such docs are skipped as candidates —
     *   θ-pruning stays sound because skipping only removes hits.
-    * @param requireAll conjunctive (AND) semantics when true. */
+    * @param requireAll conjunctive (AND) semantics when true.
+    * @param excludeIters MUST_NOT postings (Lucene ReqExclScorer
+    *   semantics, BooleanQuery prohibited clauses the reference
+    *   inherits through its reader SPI): a candidate present in ANY of
+    *   these is dropped before scoring. Sound under θ-pruning for the
+    *   same reason tombstones are — exclusion only removes hits.
+    *   Iterators advance forward-only; correctness relies on WAND
+    *   evaluating candidates in non-decreasing docId order (the
+    *   candidate is always the current global-min docId and iterators
+    *   never move backwards). */
   def topK(
       itersIn: Seq[TermIterator],
       dlOf: Long => Double,
@@ -139,7 +148,22 @@ object Wand {
       requireAll: Boolean = false,
       queryTermCount: Int = -1,
       queryDfsIn: Seq[Double] = null,
-      initialThreshold: Double = Double.NegativeInfinity): Seq[ScoredDoc] = {
+      initialThreshold: Double = Double.NegativeInfinity,
+      excludeIters: Seq[TermIterator] = Nil): Seq[ScoredDoc] = {
+
+    val excl = excludeIters.toArray
+    def isExcluded(d: Long): Boolean = {
+      var i = 0
+      while (i < excl.length) {
+        val it = excl(i)
+        if (!it.exhausted) {
+          if (it.curDoc < d) it.advanceTo(d)
+          if (!it.exhausted && it.curDoc == d) return true
+        }
+        i += 1
+      }
+      false
+    }
 
     // fixed summation order: ascending term
     val byTerm = itersIn.sortBy(_.term).toArray
@@ -208,7 +232,8 @@ object Wand {
           while (i < byTerm.length) { blockSum += byTerm(i).blockUb * ubScale; i += 1 }
           if (blockSum > theta || heap.size < k) {
             val dl = dlOf(maxDoc)
-            if (!dl.isNaN) { // NaN dl = not live (tombstoned) → skip
+            // NaN dl = not live (tombstoned); MUST_NOT match → skip
+            if (!dl.isNaN && !isExcluded(maxDoc)) {
               var score = 0.0
               i = 0
               while (i < byTerm.length) { // byTerm is term-ascending: fixed order
@@ -260,8 +285,11 @@ object Wand {
           }
           val nMatched = j
           val dlPivot = dlOf(pivotDoc)
-          // NaN dl = not live (tombstoned) → never a candidate
-          if ((blockSum > theta || heap.size < k) && !dlPivot.isNaN) {
+          // NaN dl = not live (tombstoned); MUST_NOT match → never a
+          // candidate (isExcluded last: advances exclusion iterators
+          // only for candidates that pass the cheaper gates)
+          if ((blockSum > theta || heap.size < k) && !dlPivot.isNaN
+              && !isExcluded(pivotDoc)) {
             if (!requireAll || nMatched == nTerms) {
               // deterministic order: byTerm is term-ascending
               var score = 0.0

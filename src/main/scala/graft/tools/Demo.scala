@@ -59,6 +59,12 @@ object Demo {
     show("fetch   ", s.fetch(s.topK(terms, 3), Seq("lang", "n_chars")))
     show("enumAll ", s.termEnumAll("lang", "", 5))
     show("boosted ", s.topK(terms, 3, graft.query.Boosted(BM25(), 2.0)))
+    // Boolean MUST_NOT (both paths must agree) + term-expansion family
+    show("not/bm25", s.topK(terms.take(1), 3, mustNot = terms.drop(1)))
+    show("not/wand", s.topKWand(terms.take(1), 3, mustNot = terms.drop(1)))
+    show("prefix  ", s.prefixTopK(terms.head.take(2), 3))
+    show("wildcard", s.wildcardTopK(terms.head.take(1) + "*", 3))
+    show("range   ", s.rangeTopK(Some(terms.head.take(1)), None, 3))
     // SQL surface: native analyzer expressions
     graft.sql.GraftFunctions.register(spark)
     show("sql     ", spark.sql(

@@ -25,23 +25,10 @@ import graft.table.{IndexTables, TableFormat}
   */
 object PhaseSplit {
 
-  private def session(cpus: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName(s"graft-phase-$cpus")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("GRAFT_SHUF_PARTS", (cpus * 4).toString))
-      .config("spark.local.dir",
-        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
-      .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("GRAFT_MAXPART", "8m"))
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  // honors GRAFT_EXECUTORS (local-cluster separate-JVM mode) exactly
+  // like the campaign — see BenchSessions
+  private def session(cpus: Int): SparkSession =
+    BenchSessions.build(s"graft-phase-$cpus", cpus)
 
   def main(args: Array[String]): Unit = {
     val cpus = args(0).toInt
@@ -93,6 +80,18 @@ object PhaseSplit {
     val runMs = new java.util.concurrent.atomic.AtomicLong
     val cpuNs = new java.util.concurrent.atomic.AtomicLong
     val gcMs = new java.util.concurrent.atomic.AtomicLong
+    // shuffle + serde decomposition — the terms that DIFFER between
+    // one shared heap (local[n]) and separate executor JVMs
+    // (local-cluster): remote fetch replaces in-process file reads,
+    // and task dispatch/results cross a real serialization boundary
+    val fetchWaitMs = new java.util.concurrent.atomic.AtomicLong
+    val remoteBytes = new java.util.concurrent.atomic.AtomicLong
+    val localBytes = new java.util.concurrent.atomic.AtomicLong
+    val shufWriteNs = new java.util.concurrent.atomic.AtomicLong
+    val shufWriteBytes = new java.util.concurrent.atomic.AtomicLong
+    val deserMs = new java.util.concurrent.atomic.AtomicLong
+    val resSerMs = new java.util.concurrent.atomic.AtomicLong
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
@@ -100,6 +99,14 @@ object PhaseSplit {
           runMs.addAndGet(m.executorRunTime)
           cpuNs.addAndGet(m.executorCpuTime)
           gcMs.addAndGet(m.jvmGCTime)
+          fetchWaitMs.addAndGet(m.shuffleReadMetrics.fetchWaitTime)
+          remoteBytes.addAndGet(m.shuffleReadMetrics.remoteBytesRead)
+          localBytes.addAndGet(m.shuffleReadMetrics.localBytesRead)
+          shufWriteNs.addAndGet(m.shuffleWriteMetrics.writeTime)
+          shufWriteBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          deserMs.addAndGet(m.executorDeserializeTime)
+          resSerMs.addAndGet(m.resultSerializationTime)
+          spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
           ()
         }
       }
@@ -111,6 +118,9 @@ object PhaseSplit {
     val reps = sys.env.getOrElse("GRAFT_PHASE_REPS", "1").toInt
     for (_ <- 1 to reps) {
       runMs.set(0L); cpuNs.set(0L); gcMs.set(0L)
+      fetchWaitMs.set(0L); remoteBytes.set(0L); localBytes.set(0L)
+      shufWriteNs.set(0L); shufWriteBytes.set(0L)
+      deserMs.set(0L); resSerMs.set(0L); spillBytes.set(0L)
       val out = Files.createTempDirectory("graft_phase").toString
       val t0 = System.nanoTime()
       phase match {
@@ -146,9 +156,15 @@ object PhaseSplit {
         Thread.sleep(100)
         waited += 100
       }
-      println(f"""{"phase":"$phase","cpus":$cpus,"files":$numFiles,"sec":$sec%.2f,""" +
+      val mode = sys.env.get("GRAFT_EXECUTORS").map(k => s"${k}jvm").getOrElse("local")
+      println(f"""{"phase":"$phase","mode":"$mode","cpus":$cpus,"files":$numFiles,"sec":$sec%.2f,""" +
         f""""task_run_s":${runMs.get / 1e3}%.2f,"task_cpu_s":${cpuNs.get / 1e9}%.2f,""" +
-        f""""task_gc_s":${gcMs.get / 1e3}%.2f,"slots_s":${sec * cpus}%.2f}""")
+        f""""task_gc_s":${gcMs.get / 1e3}%.2f,"slots_s":${sec * cpus}%.2f,""" +
+        f""""fetch_wait_s":${fetchWaitMs.get / 1e3}%.2f,""" +
+        f""""shuf_remote_mb":${remoteBytes.get / 1e6}%.1f,"shuf_local_mb":${localBytes.get / 1e6}%.1f,""" +
+        f""""shuf_write_s":${shufWriteNs.get / 1e9}%.2f,"shuf_write_mb":${shufWriteBytes.get / 1e6}%.1f,""" +
+        f""""deser_s":${deserMs.get / 1e3}%.2f,"res_ser_s":${resSerMs.get / 1e3}%.2f,""" +
+        f""""spill_mb":${spillBytes.get / 1e6}%.1f}""")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     }
     spark.stop()

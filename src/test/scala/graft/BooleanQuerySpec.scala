@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.build.{IndexBuilder, IndexConfig}
+import graft.query.Searcher
+
+/** Boolean MUST_NOT (Lucene prohibited clauses) and the term-expansion
+  * query family (prefix / wildcard / range — Lucene MultiTermQuery via
+  * the reference's TermEnum SPI): exhaustive ≡ WAND, exclusion drops
+  * exactly the matching docs without changing survivors' scores, and
+  * expansions match their explicit-term-list equivalents. */
+class BooleanQuerySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def mix(z: Long): Long = graft.tools.CodeCorpus.mix(z)
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "eta", "theta", "iota", "kappa")
+
+  private def docsDf(n: Int, seed: Long) =
+    (0 until n).map { i =>
+      val len = 3 + (mix(seed ^ i) & 0x7FFFFFFF).toInt % 30
+      val words = (0 until len).map { t =>
+        vocab(((mix(seed ^ (i * 131L + t)) & 0x7FFFFFFF) % vocab.length).toInt)
+      }
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+
+  private def topMap(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+    df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("MUST_NOT: exhaustive ≡ WAND; drops exactly the excluded docs; survivors' scores unchanged") {
+    for (shardSize <- Seq(16L, 1024L)) {
+      val idx = IndexBuilder.fromText(spark, docsDf(150, 11L), "doc_id", "text",
+        cfg = IndexConfig(shardSizeDocs = shardSize)).cache()
+      val s = new Searcher(spark, idx)
+      val terms = Seq("alpha", "kappa")
+      val not = Seq("zeta")
+      val k = idx.stats.numDocs.toInt // full ranking: set equality checkable
+
+      val plain = topMap(s.topK(terms, k))
+      val ex = topMap(s.topK(terms, k, mustNot = not))
+      val wand = topMap(s.topKWand(terms, k, mustNot = not))
+      val excluded = s.matches(not).toDF().select("docId")
+        .collect().map(_.getLong(0)).toSet
+
+      assert(ex.keySet === wand.keySet, s"shard=$shardSize")
+      assert(ex.keySet === plain.keySet -- excluded, s"shard=$shardSize")
+      assert(ex.keySet.forall(d => !excluded(d)))
+      // exclusion must not perturb surviving scores (both paths)
+      ex.foreach { case (d, sc) =>
+        assert(math.abs(sc - plain(d)) <= 1e-12 * math.max(1.0, math.abs(plain(d))))
+        assert(math.abs(sc - wand(d)) <= 1e-12 * math.max(1.0, math.abs(plain(d))))
+      }
+      idx.unpersist()
+    }
+  }
+
+  test("MUST_NOT in AND mode: both paths; term both required and prohibited → empty") {
+    val idx = IndexBuilder.fromText(spark, docsDf(120, 13L), "doc_id", "text",
+      cfg = IndexConfig(shardSizeDocs = 32)).cache()
+    val s = new Searcher(spark, idx)
+    val k = idx.stats.numDocs.toInt
+    val ex = topMap(s.topK(Seq("alpha", "beta"), k, requireAll = true,
+      mustNot = Seq("gamma")))
+    val wand = topMap(s.topKWand(Seq("alpha", "beta"), k, requireAll = true,
+      mustNot = Seq("gamma")))
+    assert(ex === wand)
+    assert(ex.nonEmpty) // corpus is dense enough that some doc has α∧β∧¬γ
+    // contradiction: MUST ∧ MUST_NOT on the same term
+    assert(s.topK(Seq("alpha"), k, requireAll = true, mustNot = Seq("alpha"))
+      .collect().isEmpty)
+    assert(s.topKWand(Seq("alpha"), k, requireAll = true, mustNot = Seq("alpha"))
+      .collect().isEmpty)
+    idx.unpersist()
+  }
+
+  test("prefix/wildcard/range expansion ≡ explicit term list; bounds honored; TooManyClauses") {
+    val idx = IndexBuilder.fromText(spark, docsDf(140, 17L), "doc_id", "text",
+      cfg = IndexConfig(shardSizeDocs = 64)).cache()
+    val s = new Searcher(spark, idx)
+    val k = 25
+
+    // prefix "e" → {eps, eta}
+    assert(topMap(s.prefixTopK("e", k)) === topMap(s.topKWand(Seq("eps", "eta"), k)))
+    // wildcard "?eta" → {beta, zeta} (one leading char, literal tail)
+    assert(topMap(s.wildcardTopK("?eta", k)) === topMap(s.topKWand(Seq("beta", "zeta"), k)))
+    // wildcard with literal prefix + star: "ka*" → {kappa}
+    assert(topMap(s.wildcardTopK("ka*", k)) === topMap(s.topKWand(Seq("kappa"), k)))
+    // range [beta, eta) → {beta, delta, eps}; [beta, eta] adds eta
+    assert(topMap(s.rangeTopK(Some("beta"), Some("eta"), k)) ===
+      topMap(s.topKWand(Seq("beta", "delta", "eps"), k)))
+    assert(topMap(s.rangeTopK(Some("beta"), Some("eta"), k, includeHi = true)) ===
+      topMap(s.topKWand(Seq("beta", "delta", "eps", "eta"), k)))
+    // empty expansion → empty hits, not an error
+    assert(s.prefixTopK("zzz", k).collect().isEmpty)
+    // Lucene TooManyClauses contract: prefix "e" expands to 2 > 1
+    val e = intercept[IllegalArgumentException](s.prefixTopK("e", k, maxExpansions = 1))
+    assert(e.getMessage.contains("TooManyClauses"))
+    idx.unpersist()
+  }
+}
