@@ -276,11 +276,13 @@ tid AS (
   SELECT term, row_number() OVER (ORDER BY term) AS tid
   FROM (SELECT DISTINCT term FROM emitted)),
 hh AS (
-  SELECT f.doc_id, f.tf, (t.tid * 2654435761 + 911) % 2147483647 AS h
+  SELECT f.doc_id, f.tf,
+         (t.tid * 2654435761 + 911) % 2147483647
+           + (((t.tid * 2246822519 + 1337) % 2147483647) << 31) AS h
   FROM tfq f JOIN tid t USING (term)),
 bits AS (
   SELECT doc_id, b.b, sum(tf * (((h >> b.b) & 1) * 2 - 1)) AS sb
-  FROM hh CROSS JOIN range(31) b(b) GROUP BY 1, 2)
+  FROM hh CROSS JOIN range(62) b(b) GROUP BY 1, 2)
 SELECT doc_id,
        sum(CASE WHEN sb > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
 FROM bits GROUP BY 1"""),
@@ -291,11 +293,13 @@ tid AS (
   SELECT term, row_number() OVER (ORDER BY term) AS tid
   FROM (SELECT DISTINCT term FROM emitted)),
 hh AS (
-  SELECT f.doc_id, f.tf, (t.tid * 2654435761 + 911) % 2147483647 AS h
+  SELECT f.doc_id, f.tf,
+         (t.tid * 2654435761 + 911) % 2147483647
+           + (((t.tid * 2246822519 + 1337) % 2147483647) << 31) AS h
   FROM tfq f JOIN tid t USING (term)),
 bits AS (
   SELECT doc_id, b.b, sum(tf * (((h >> b.b) & 1) * 2 - 1)) AS sb
-  FROM hh CROSS JOIN range(31) b(b) GROUP BY 1, 2),
+  FROM hh CROSS JOIN range(62) b(b) GROUP BY 1, 2),
 sv AS (
   SELECT doc_id,
          sum(CASE WHEN sb > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
@@ -314,11 +318,13 @@ tid AS (
   SELECT term, row_number() OVER (ORDER BY term) AS tid
   FROM (SELECT DISTINCT term FROM emitted)),
 hh AS (
-  SELECT f.doc_id, f.tf, (t.tid * 2654435761 + 911) % 2147483647 AS h
+  SELECT f.doc_id, f.tf,
+         (t.tid * 2654435761 + 911) % 2147483647
+           + (((t.tid * 2246822519 + 1337) % 2147483647) << 31) AS h
   FROM tfq f JOIN tid t USING (term)),
 bits AS (
   SELECT doc_id, b.b, sum(tf * (((h >> b.b) & 1) * 2 - 1)) AS sb
-  FROM hh CROSS JOIN range(31) b(b) GROUP BY 1, 2),
+  FROM hh CROSS JOIN range(62) b(b) GROUP BY 1, 2),
 sv AS (
   SELECT doc_id,
          sum(CASE WHEN sb > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
