@@ -38,6 +38,7 @@ object SparkEntry {
     "prefix_topk" -> ((s, d) => E.prefixTopK(s, d)),
     "wildcard_topk" -> ((s, d) => E.wildcardTopK(s, d)),
     "range_topk" -> ((s, d) => E.rangeTopK(s, d)),
+    "fuzzy_topk" -> ((s, d) => E.fuzzyTopK(s, d)),
     "tfidf_legacy" -> ((s, d) => E.tfidfLegacy(s, d)),
     "phrase_bm25" -> ((s, d) => E.phraseBm25(s, d)),
     "sort_topk" -> ((s, d) => E.sortTopK(s, d)),

@@ -141,6 +141,7 @@ WHERE term IN ('spark', 'merge', 'window', 'dup') GROUP BY 1"""),
     "prefix_topk" -> expansionTopK("term LIKE 's%'", 10),
     "wildcard_topk" -> expansionTopK("regexp_matches(term, '^s.a.*$')", 10),
     "range_topk" -> expansionTopK("term >= 'h' AND term < 'k'", 10),
+    "fuzzy_topk" -> expansionTopK("levenshtein(term, 'bag') <= 2", 10),
     // the SQL TVF surface substitutes the SAME analyzed WAND plan →
     // rank-identical to the exhaustive oracle by construction
     "match_sql" -> bm25TopK(Seq("spark", "merge", "window"), 10, requireAll = false),

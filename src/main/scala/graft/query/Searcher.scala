@@ -561,6 +561,32 @@ final class Searcher(
     if (ts.isEmpty) emptyHits else topKWand(ts, k, scorer)
   }
 
+  /** Fuzzy query (Lucene FuzzyQuery): rank docs containing any
+    * dictionary term within `maxEdits` Levenshtein edits of `term`.
+    * Lucene 3.0's FuzzyTermEnum is exactly this — a full TermEnum
+    * scan with a per-term edit-distance filter (∝ vocabulary, not
+    * corpus); `prefixLength` > 0 pushes a literal prefix into the
+    * dictionary scan like Lucene's prefix-locked fuzzy. The expansion
+    * ranks as a plain scoring OR (per-term idf), like the rest of the
+    * MultiTermQuery family here — Lucene 3.0's extra
+    * (1 − d/min(len)) closeness boost is not applied. */
+  def fuzzyTopK(
+      term: String,
+      k: Int,
+      maxEdits: Int = 2,
+      prefixLength: Int = 0,
+      scorer: Scorer = BM25(),
+      maxExpansions: Int = 1024): DataFrame = {
+    require(term.nonEmpty && maxEdits >= 0 && prefixLength >= 0)
+    val base = levenshtein(col("term"), lit(term)) <= maxEdits
+    val pred =
+      if (prefixLength > 0)
+        col("term").startsWith(term.take(prefixLength)) && base
+      else base
+    val ts = expandTerms(pred, s"fuzzy '$term'~$maxEdits", maxExpansions)
+    if (ts.isEmpty) emptyHits else topKWand(ts, k, scorer)
+  }
+
   /** Term-range query (Lucene TermRangeQuery; reference A6 range scan):
     * rank docs containing any dictionary term in [lo, hi] / (lo, hi)
     * per the inclusive flags; a None bound is open. */

@@ -65,6 +65,7 @@ object Demo {
     show("prefix  ", s.prefixTopK(terms.head.take(2), 3))
     show("wildcard", s.wildcardTopK(terms.head.take(1) + "*", 3))
     show("range   ", s.rangeTopK(Some(terms.head.take(1)), None, 3))
+    show("fuzzy   ", s.fuzzyTopK(terms.head, 3, maxEdits = 1))
     // SQL surface: native analyzer expressions
     graft.sql.GraftFunctions.register(spark)
     show("sql     ", spark.sql(

@@ -94,8 +94,16 @@ class BooleanQuerySpec extends AnyFunSuite {
       topMap(s.topKWand(Seq("beta", "delta", "eps"), k)))
     assert(topMap(s.rangeTopK(Some("beta"), Some("eta"), k, includeHi = true)) ===
       topMap(s.topKWand(Seq("beta", "delta", "eps", "eta"), k)))
+    // fuzzy "zeta"~1: vocab within 1 edit = {zeta (0), beta (1 sub),
+    // eta (1 del)} — the exact term rides its own expansion
+    assert(topMap(s.fuzzyTopK("zeta", k, maxEdits = 1)) ===
+      topMap(s.topKWand(Seq("beta", "eta", "zeta"), k)))
+    // prefix-locked fuzzy: prefixLength=1 keeps only "z*" candidates
+    assert(topMap(s.fuzzyTopK("zeta", k, maxEdits = 1, prefixLength = 1)) ===
+      topMap(s.topKWand(Seq("zeta"), k)))
     // empty expansion → empty hits, not an error
     assert(s.prefixTopK("zzz", k).collect().isEmpty)
+    assert(s.fuzzyTopK("qqqqqqq", k, maxEdits = 1).collect().isEmpty)
     // Lucene TooManyClauses contract: prefix "e" expands to 2 > 1
     val e = intercept[IllegalArgumentException](s.prefixTopK("e", k, maxExpansions = 1))
     assert(e.getMessage.contains("TooManyClauses"))
