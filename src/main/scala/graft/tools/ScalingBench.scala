@@ -149,6 +149,12 @@ object ScalingBench {
           s.topKWand(Seq("id17", "return", "id999"), 100), emb, qvec,
           alpha = 0.5, k = 10).collect()),
         "single_rare" -> (() => s.topK(Seq("id9423"), 10).collect()),
+        // MultiTermQuery family at corpus scale: expansion cost is the
+        // dictionary scan (∝ vocabulary) + WAND over the expansion
+        "prefix_id94" -> (() => s.prefixTopK("id94", 10).collect()),
+        "fuzzy_returm" -> (() => s.fuzzyTopK("returm", 10, maxEdits = 1).collect()),
+        "not_import" -> (() => s.topKWand(Seq("import"), 10,
+          mustNot = Seq("x7")).collect()),
         "single_skew" -> (() => s.topK(Seq("public"), 10).collect()),
         "and_skew" -> (() => s.topK(Seq("import", "class"), 10, requireAll = true).collect()),
         "or_mixed" -> (() => s.topK(Seq("id17", "return", "id999"), 10).collect()),
