@@ -83,7 +83,11 @@ object Analyzer extends TextAnalyzer {
     * non-ASCII char falls back to a full Locale.ROOT lowercase pass so
     * tokenization stays byte-identical to the previous whole-string
     * behavior (e.g. Kelvin sign 'K' → 'k' still joins a token). */
-  @inline private def scanBuf(text: String)(emit: (Array[Char], Int, Int) => Unit): Unit = {
+  @inline private def scanBuf(text: String)(emit: (Array[Char], Int, Int) => Unit): Unit =
+    scanBufOffsets(text)((buf, len, pos, _, _) => emit(buf, len, pos))
+
+  @inline private def scanBufOffsets(text: String)(
+      emit: (Array[Char], Int, Int, Int, Int) => Unit): Unit = {
     if (text == null) return
     var ascii = true
     var k = 0
@@ -110,7 +114,7 @@ object Analyzer extends TextAnalyzer {
           c = if (i < n) lower(s.charAt(i)) else ' '
         }
         pos += 1
-        emit(buf, len, pos)
+        emit(buf, len, pos, i - len, i)
       }
     }
   }
@@ -127,6 +131,25 @@ object Analyzer extends TextAnalyzer {
     scanBuf(text) { (buf, len, pos) =>
       if (!isStopBuf(buf, len)) f(new String(buf, 0, len), pos)
     }
+
+  /** Emitted scan with [start, end) char offsets into `analyzedText`
+    * (== the input for ASCII; the Locale.ROOT-lowercased string when a
+    * non-ASCII char forced a whole-string normalization pass). */
+  @inline override def foreachEmittedOffsets(text: String)(
+      f: (String, Int, Int, Int) => Unit): Unit =
+    scanBufOffsets(text) { (buf, len, pos, s, e) =>
+      if (!isStopBuf(buf, len)) f(new String(buf, 0, len), pos, s, e)
+    }
+
+  override def analyzedText(text: String): String = {
+    if (text == null) return null
+    var k = 0
+    while (k < text.length) {
+      if (text.charAt(k) >= 0x80) return text.toLowerCase(java.util.Locale.ROOT)
+      k += 1
+    }
+    text
+  }
 
   /** Buffer-level emitted-token scan: hands the reused (buf, len, pos)
     * straight to the caller with NO String allocation at all — the

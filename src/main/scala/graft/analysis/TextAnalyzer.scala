@@ -30,6 +30,21 @@ trait TextAnalyzer extends Serializable {
   def foreachEmitted(text: String)(f: (String, Int) => Unit): Unit =
     foreachEmittedBuf(text)((buf, len, pos) => f(new String(buf, 0, len), pos))
 
+  /** Emitted scan WITH character offsets — `f(term, pos, start, end)`
+    * where [start, end) spans the token in the analyzed text
+    * (highlighting/snippets slice it back out). For ASCII input the
+    * offsets index the ORIGINAL string; an analyzer that normalizes
+    * non-ASCII text as a whole (the standard one lowercases via
+    * Locale.ROOT, which can change string length, e.g. U+0130) may
+    * report offsets into the normalized text instead — callers get
+    * that normalized text back from `analyzedText`. */
+  def foreachEmittedOffsets(text: String)(
+      f: (String, Int, Int, Int) => Unit): Unit
+
+  /** The string `foreachEmittedOffsets` offsets refer to — the input
+    * itself unless the analyzer had to normalize it wholesale. */
+  def analyzedText(text: String): String = text
+
   /** Emitted-token count — BM25's document length. */
   def docLen(text: String): Int = {
     var n = 0
@@ -72,7 +87,15 @@ object CodeIdentifierAnalyzer extends TextAnalyzer {
 
   def name: String = "code-identifier"
 
-  def foreachEmittedBuf(text: String)(f: (Array[Char], Int, Int) => Unit): Unit = {
+  def foreachEmittedBuf(text: String)(f: (Array[Char], Int, Int) => Unit): Unit =
+    scan(text)((buf, len, pos, _, _) => f(buf, len, pos))
+
+  def foreachEmittedOffsets(text: String)(
+      f: (String, Int, Int, Int) => Unit): Unit =
+    scan(text)((buf, len, pos, s, e) => f(new String(buf, 0, len), pos, s, e))
+
+  private def scan(text: String)(
+      f: (Array[Char], Int, Int, Int, Int) => Unit): Unit = {
     if (text == null) return
     val n = text.length
     var buf = new Array[Char](32)
@@ -85,6 +108,7 @@ object CodeIdentifierAnalyzer extends TextAnalyzer {
     while (i < n) {
       while (i < n && !isTok(low(text.charAt(i)))) i += 1
       if (i < n) {
+        val start = i
         var len = 0
         var c = low(text.charAt(i))
         while (isTok(c)) {
@@ -95,7 +119,7 @@ object CodeIdentifierAnalyzer extends TextAnalyzer {
           c = if (i < n) low(text.charAt(i)) else ' '
         }
         pos += 1
-        f(buf, len, pos)
+        f(buf, len, pos, start, i)
       }
     }
   }

@@ -624,4 +624,67 @@ final class Searcher(
   /** Fetch stored docs for hits (reference C7 — semi-join after rank). */
   def fetch(hits: DataFrame, cols: Seq[String]): DataFrame =
     hits.join(index.docs.select((Seq("docId") ++ cols).map(col): _*), Seq("docId"))
+
+  /** Best-window snippets for hits (the Lucene-contrib Highlighter
+    * surface, absent from the reference): for each hit, re-analyze the
+    * stored content with the index's own analyzer and slice the raw
+    * text around the `width`-emitted-token window containing the MOST
+    * query-term matches (ties → leftmost; no match → the leading
+    * window), wrapping each matched token in pre/post markers.
+    * Deterministic by construction. Runs as a broadcast join of the
+    * tiny hit set against the docs table plus a per-row map — nothing
+    * corpus-sized moves. Requires stored content
+    * (IndexConfig.storeContent). Returns (docId, score, nMatches,
+    * snippet). */
+  def snippets(
+      hits: DataFrame,
+      terms: Seq[String],
+      width: Int = 12,
+      pre: String = "«",
+      post: String = "»"): DataFrame = {
+    require(width > 0)
+    val qset = terms.toSet
+    val az = index.config.analyzer
+    val (p1, p2) = (pre, post)
+    val w = width
+    fetch(hits, Seq(field)).select(col("docId"), col("score"), col(field))
+      .as[(Long, Double, String)]
+      .map { case (docId, score, raw) =>
+        val text = az.analyzedText(raw)
+        val ts = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Boolean)]
+        if (text != null) az.foreachEmittedOffsets(text) { (t, _, s, e) =>
+          ts += ((s, e, qset(t)))
+        }
+        if (ts.isEmpty) (docId, score, 0, "")
+        else {
+          // sliding window over emitted-token indices: O(n)
+          var best = 0; var bestCnt = -1; var cnt = 0
+          var i = 0
+          while (i < ts.length) {
+            cnt += (if (ts(i)._3) 1 else 0)
+            if (i >= w) cnt -= (if (ts(i - w)._3) 1 else 0)
+            val startIdx = math.max(0, i - w + 1)
+            if (i >= w - 1 || i == ts.length - 1) {
+              if (cnt > bestCnt) { bestCnt = cnt; best = startIdx }
+            }
+            i += 1
+          }
+          val end = math.min(ts.length, best + w)
+          val sb = new java.lang.StringBuilder
+          var c = ts(best)._1
+          var j = best
+          while (j < end) {
+            val (s, e, m) = ts(j)
+            sb.append(text, c, s)
+            if (m) sb.append(p1)
+            sb.append(text, s, e)
+            if (m) sb.append(p2)
+            c = e
+            j += 1
+          }
+          (docId, score, bestCnt, sb.toString)
+        }
+      }
+      .toDF("docId", "score", "nMatches", "snippet")
+  }
 }

@@ -66,6 +66,7 @@ object Demo {
     show("wildcard", s.wildcardTopK(terms.head.take(1) + "*", 3))
     show("range   ", s.rangeTopK(Some(terms.head.take(1)), None, 3))
     show("fuzzy   ", s.fuzzyTopK(terms.head, 3, maxEdits = 1))
+    show("snippet ", s.snippets(s.topK(terms, 2), terms, width = 8))
     // SQL surface: native analyzer expressions
     graft.sql.GraftFunctions.register(spark)
     show("sql     ", spark.sql(
