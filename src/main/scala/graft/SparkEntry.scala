@@ -35,6 +35,7 @@ object SparkEntry {
     "bm25_and" -> ((s, d) => E.bm25And(s, d)),
     "bm25_wand" -> ((s, d) => E.bm25Wand(s, d)),
     "bm25_not" -> ((s, d) => E.bm25Not(s, d)),
+    "bm25_reqopt" -> ((s, d) => E.bm25ReqOpt(s, d)),
     "prefix_topk" -> ((s, d) => E.prefixTopK(s, d)),
     "wildcard_topk" -> ((s, d) => E.wildcardTopK(s, d)),
     "range_topk" -> ((s, d) => E.rangeTopK(s, d)),
@@ -48,6 +49,10 @@ object SparkEntry {
     "sha256_rows" -> ((s, d) => E.shaRows(s, d)),
     "match_sql" -> ((s, d) => E.matchSql(s, d)),
     "phrase_sql" -> ((s, d) => E.phraseSql(s, d)),
+    "query_sql" -> ((s, d) => E.querySql(s, d)),
+    // rows-only driver check (snippet text pinned by SnippetSpec —
+    // the analyzer offset walk has no portable SQL recomputation)
+    "snippet_topk" -> ((s, d) => E.snippetTopK(s, d)),
     "bm25_tombstone" -> ((s, d) => E.bm25Tombstone(s, d)),
     "bm25_wand_tombstone" -> ((s, d) => E.bm25WandTombstone(s, d)),
     "bm25_after_delete" -> ((s, d) => E.bm25AfterDelete(s, d)),

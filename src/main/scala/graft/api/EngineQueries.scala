@@ -133,6 +133,35 @@ object EngineQueries {
     asTopK(searcher(s, dir).topKWand(Seq("spark", "merge"), 10,
       mustNot = Seq("window")))
 
+  /** Mixed MUST + SHOULD (Lucene ReqOptSumScorer, the `+spark merge
+    * window` query-string shape): hits must contain `spark`; `merge`
+    * and `window` add score when present. The WAND kernel leapfrogs
+    * the required term and treats the rest as score-only optionals. */
+  def bm25ReqOpt(s: SparkSession, dir: String): DataFrame =
+    asTopK(searcher(s, dir).topKWand(Seq("merge", "window"), 10,
+      must = Seq("spark")))
+
+  /** Classic query-string surface end-to-end through SQL: the TVF's
+    * `query` mode parses `+spark merge -window` (MUST + SHOULD +
+    * MUST_NOT) and dispatches to the mixed ReqOpt WAND plan. */
+  def querySql(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureSqlRoot(s, dir)
+    asTopK(s.sql(
+      s"SELECT * FROM match_query('$root', '+spark merge -window', 10, 'query')"))
+  }
+
+  /** Best-window snippets over the top hits (Lucene-contrib
+    * Highlighter semantics) — driver-checked rows-only (the analyzer
+    * offset walk is not expressible in portable SQL; SnippetSpec pins
+    * the content). */
+  def snippetTopK(s: SparkSession, dir: String): DataFrame = {
+    val sr = searcher(s, dir)
+    sr.snippets(sr.topKWand(Seq("spark", "merge"), 5), Seq("spark", "merge"))
+      .select(col("docId").cast("long").as("doc_id"),
+        round(col("score"), 4).as("score"), col("nMatches").as("n_matches"),
+        col("snippet"))
+  }
+
   /** Prefix query (Lucene PrefixQuery via TermEnum seek): dictionary
     * expansion + disjunctive WAND over the expansion. */
   def prefixTopK(s: SparkSession, dir: String): DataFrame =

@@ -74,11 +74,16 @@ scored AS (
     bm25ScoredPred(s"term IN ${inList(terms)}")
 
   private def bm25TopK(terms: Seq[String], k: Int, requireAll: Boolean,
-      mustNot: Seq[String] = Nil): String =
+      mustNot: Seq[String] = Nil, must: Seq[String] = Nil): String =
     TOK + bm25Scored(terms) + s"""
 SELECT doc_id, round(s, 4) AS score FROM scored
 WHERE TRUE
 ${if (requireAll) s"AND m = ${terms.length}" else ""}
+${if (must.nonEmpty)
+      s"""AND doc_id IN (SELECT doc_id FROM
+  (SELECT DISTINCT doc_id, term FROM emitted WHERE term IN ${inList(must)})
+  GROUP BY doc_id HAVING count(*) = ${must.length})"""
+    else ""}
 ${if (mustNot.nonEmpty)
       s"AND doc_id NOT IN (SELECT DISTINCT doc_id FROM emitted WHERE term IN ${inList(mustNot)})"
     else ""}
@@ -138,6 +143,14 @@ WHERE term IN ('spark', 'merge', 'window', 'dup') GROUP BY 1"""),
     "bm25_wand" -> bm25TopK(Seq("spark", "merge", "window"), 10, requireAll = false),
     "bm25_not" -> bm25TopK(Seq("spark", "merge"), 10, requireAll = false,
       mustNot = Seq("window")),
+    // mixed MUST + SHOULD (ReqOptSumScorer): every hit contains the
+    // MUST term; score sums over all matched query terms
+    "bm25_reqopt" -> bm25TopK(Seq("merge", "spark", "window"), 10,
+      requireAll = false, must = Seq("spark")),
+    // classic parser through the SQL TVF: '+spark merge -window' →
+    // MUST spark, SHOULD merge, MUST_NOT window
+    "query_sql" -> bm25TopK(Seq("merge", "spark"), 10, requireAll = false,
+      mustNot = Seq("window"), must = Seq("spark")),
     "prefix_topk" -> expansionTopK("term LIKE 's%'", 10),
     "wildcard_topk" -> expansionTopK("regexp_matches(term, '^s.a.*$')", 10),
     "range_topk" -> expansionTopK("term >= 'h' AND term < 'k'", 10),

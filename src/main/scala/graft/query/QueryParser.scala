@@ -1,0 +1,149 @@
+package graft.query
+
+import graft.analysis.TextAnalyzer
+
+/** A classic query string parsed into Lucene BooleanQuery occur
+  * buckets. Terms are post-analysis (the index's own analyzer),
+  * deduplicated per bucket; `phrase` keeps the emitted slot order of a
+  * quoted clause (duplicates included — phrase tf needs them).
+  */
+final case class ParsedQuery(
+    must: Seq[String],
+    should: Seq[String],
+    mustNot: Seq[String],
+    phrase: Seq[String]) {
+  def isEmpty: Boolean =
+    must.isEmpty && should.isEmpty && mustNot.isEmpty && phrase.isEmpty
+}
+
+/** Classic Lucene query-string syntax — the surface the reference's
+  * own tests reach through `o.a.lucene.queryParser.QueryParser`
+  * (TestHBaseneSearch.java builds every search from
+  * `new QueryParser(field, analyzer).parse(...)`), re-expressed over
+  * this engine's occur buckets:
+  *
+  *   - `term`            → SHOULD clause (default operator OR)
+  *   - `+term`           → MUST clause
+  *   - `-term`, `!term`  → MUST_NOT clause
+  *   - `NOT term`        → MUST_NOT clause
+  *   - `a AND b` / `&&`  → both clauses MUST (QueryParserBase.addClause:
+  *                         CONJ_AND upgrades the PREVIOUS clause and
+  *                         requires the current one)
+  *   - `a OR b` / `||`   → both SHOULD (no-op under default OR)
+  *   - `"a b c"`         → quoted phrase, analyzer slot order kept
+  *
+  * Divergences, both fail-loud or documented:
+  *   - a quoted phrase must be the WHOLE query (phrase-as-clause inside
+  *     a boolean tree is rejected, not silently re-scored);
+  *   - a single clause that analyzes to several terms (e.g.
+  *     `+snake_case` under the code analyzer) contributes each term
+  *     with the clause's occur flag, where Lucene would synthesize a
+  *     sub-PhraseQuery;
+  *   - no grouping parentheses, field prefixes, boosts or fuzzy
+  *     suffixes — the engine exposes those as explicit API calls
+  *     (`Boosted`, `fuzzyTopK`, `prefixTopK`).
+  */
+object QueryParser {
+
+  private final val MUST = 0
+  private final val SHOULD = 1
+  private final val NOT = 2
+
+  /** Raw lexing: quoted phrases, +/-/! modifiers, AND/OR/NOT operators,
+    * bare clause words. Interior '+'/'-' (e.g. `foo-bar`) stay clause
+    * text — only a leading modifier counts; the analyzer strips
+    * punctuation downstream anyway.
+    */
+  def parse(query: String, analyzer: TextAnalyzer): ParsedQuery = {
+    // (occur, text, isPhrase) in input order — occur is re-written by a
+    // following AND, so buckets form only after the full scan
+    val clauses = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Boolean)]
+    var conjAnd = false // a pending AND applies to the NEXT clause
+    var mod = -1 // pending +/-/NOT modifier for the next clause
+    var i = 0
+    val n = query.length
+    while (i < n) {
+      val c = query.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '"') {
+        val end = query.indexOf('"', i + 1)
+        val (text, next) =
+          if (end < 0) (query.substring(i + 1), n) else (query.substring(i + 1, end), end + 1)
+        addClause(clauses, conjAnd, mod, text, isPhrase = true)
+        conjAnd = false; mod = -1
+        i = next
+      } else if ((c == '+' || c == '-' || c == '!') && i + 1 < n &&
+          !query.charAt(i + 1).isWhitespace && mod < 0) {
+        mod = if (c == '+') MUST else NOT
+        i += 1
+      } else {
+        var j = i
+        while (j < n && !query.charAt(j).isWhitespace && query.charAt(j) != '"') j += 1
+        val word = query.substring(i, j)
+        word match {
+          case "AND" | "&&" if mod < 0 => conjAnd = true
+          case "OR" | "||" if mod < 0 => conjAnd = false
+          case "NOT" if mod < 0 => mod = NOT
+          case _ =>
+            addClause(clauses, conjAnd, mod, word, isPhrase = false)
+            conjAnd = false; mod = -1
+        }
+        i = j
+      }
+    }
+
+    var phrase = Seq.empty[String]
+    val must = Seq.newBuilder[String]
+    val should = Seq.newBuilder[String]
+    val not = Seq.newBuilder[String]
+    clauses.foreach { case (occur, text, isPhrase) =>
+      val slots = {
+        val b = Seq.newBuilder[String]
+        analyzer.foreachEmitted(text)((t, _) => b += t)
+        b.result()
+      }
+      if (slots.nonEmpty) {
+        if (isPhrase && slots.length > 1) {
+          require(occur != NOT,
+            "query parser: a prohibited phrase (-\"...\") is unsupported")
+          require(phrase.isEmpty, "query parser: at most one quoted phrase")
+          phrase = slots
+        } else occur match { // 1-slot phrase degrades to its term clause
+          case MUST => must ++= slots
+          case NOT => not ++= slots
+          case _ => should ++= slots
+        }
+      }
+    }
+    val pq = ParsedQuery(must.result().distinct, should.result().distinct,
+      not.result().distinct, phrase)
+    require(pq.phrase.isEmpty ||
+        (pq.must.isEmpty && pq.should.isEmpty && pq.mustNot.isEmpty),
+      "query parser: a quoted phrase must be the whole query " +
+        "(phrase-as-clause inside a boolean query is unsupported)")
+    pq
+  }
+
+  /** QueryParserBase.addClause for the flat default-OR grammar: a
+    * CONJ_AND upgrades the previous clause from SHOULD to MUST (never
+    * off a prohibited clause) and requires the current one unless a
+    * modifier already decided its occur.
+    */
+  private def addClause(
+      clauses: scala.collection.mutable.ArrayBuffer[(Int, String, Boolean)],
+      conjAnd: Boolean,
+      mod: Int,
+      text: String,
+      isPhrase: Boolean): Unit = {
+    if (conjAnd && clauses.nonEmpty) {
+      val (prevOccur, prevText, prevPhrase) = clauses.last
+      if (prevOccur == SHOULD)
+        clauses(clauses.length - 1) = (MUST, prevText, prevPhrase)
+    }
+    val occur =
+      if (mod >= 0) mod
+      else if (conjAnd) MUST
+      else SHOULD
+    clauses += ((occur, text, isPhrase))
+  }
+}

@@ -183,8 +183,13 @@ final class Searcher(
       terms: Seq[String],
       scorer: Scorer = BM25(),
       requireAll: Boolean = false,
-      mustNot: Seq[String] = Nil): DataFrame = {
-    val qTerms = terms.distinct.sorted
+      mustNot: Seq[String] = Nil,
+      must: Seq[String] = Nil): DataFrame = {
+    // `must` — Lucene BooleanQuery mixed MUST + SHOULD (ReqOptSumScorer):
+    // a hit needs EVERY must term; the remaining (should) terms add
+    // score when present. must terms score too, so they join the query
+    // term set; must == all terms degenerates to requireAll.
+    val qTerms = (terms ++ must).distinct.sorted
     val meta = collectMeta(qTerms)
     val dfs = meta.dfs
     val queryDfs = qTerms.map(t => dfs.getOrElse(t, 0L).toDouble)
@@ -196,14 +201,21 @@ final class Searcher(
       .withColumn("tscore",
         scorer.contributionCol(col("tf").cast("double"), col("df"), col("dl"), stats))
 
+    val mustArr = must.distinct.sorted
     val perDoc = m.groupBy("docId")
       .agg(sort_array(collect_list(struct(col("term"), col("tscore")))).as("cs"))
       .withColumn("nMatched", size(col("cs")))
+      .withColumn("nMust",
+        if (mustArr.isEmpty) lit(0)
+        else size(filter(col("cs"),
+          x => array_contains(typedlit(mustArr), x.getField("term")))))
       .withColumn("rawScore",
         aggregate(col("cs"), lit(0.0), (acc, x) => acc + x.getField("tscore")))
       .drop("cs")
     val filtered =
-      if (requireAll) perDoc.where(col("nMatched") === qTerms.length) else perDoc
+      if (requireAll) perDoc.where(col("nMatched") === qTerms.length)
+      else if (mustArr.nonEmpty) perDoc.where(col("nMust") === mustArr.length)
+      else perDoc
     // doc-level factor (coord · queryNorm for the legacy scorer; 1 for BM25)
     // — locals only in the closure, Searcher itself is not serializable
     val (sc, qd, st) = (scorer, queryDfs, stats)
@@ -217,7 +229,8 @@ final class Searcher(
     // the exclusion still wins, so just exclude the overlap too
     val exAll = mustNot.distinct
     if (exAll.isEmpty) scored
-    else if (requireAll && exTerms.length != exAll.length)
+    else if ((requireAll && exTerms.length != exAll.length) ||
+        mustArr.exists(exAll.contains)) // MUST ∧ MUST_NOT matches nothing
       Seq.empty[(Long, Double, Int)].toDF("docId", "score", "nMatched")
     else scored.join(
       matches(exAll).toDF().select("docId").distinct(), Seq("docId"), "left_anti")
@@ -228,8 +241,9 @@ final class Searcher(
       k: Int,
       scorer: Scorer = BM25(),
       requireAll: Boolean = false,
-      mustNot: Seq[String] = Nil): DataFrame =
-    scoredDocs(terms, scorer, requireAll, mustNot)
+      mustNot: Seq[String] = Nil,
+      must: Seq[String] = Nil): DataFrame =
+    scoredDocs(terms, scorer, requireAll, mustNot, must)
       .orderBy(desc("score"), asc("docId"))
       .limit(k)
       .select("docId", "score")
@@ -257,13 +271,24 @@ final class Searcher(
       k: Int,
       scorer: Scorer = BM25(),
       requireAll: Boolean = false,
-      mustNot: Seq[String] = Nil): DataFrame = {
-    val qTerms = terms.distinct.sorted
+      mustNot: Seq[String] = Nil,
+      must: Seq[String] = Nil): DataFrame = {
+    // `must` — mixed MUST + SHOULD (Lucene ReqOptSumScorer): the Wand
+    // kernel leapfrogs the must iterators and treats the rest as
+    // score-only optionals. must == all terms degenerates to the AND
+    // leapfrog; requireAll wins if both are given.
+    val qTerms = (terms ++ must).distinct.sorted
+    val mustArr =
+      if (requireAll || must.isEmpty) Array.empty[String]
+      else if (must.distinct.size == qTerms.size) Array.empty[String] // == AND
+      else must.distinct.sorted.toArray
+    val allMust = requireAll || (must.nonEmpty && must.distinct.size == qTerms.size)
     // MUST_NOT terms ride the same cogroup as exclusion-only iterators
     // (Lucene ReqExclScorer): their postings are fetched per shard but
     // never scored and never contribute to shard pruning
     val exTerms = mustNot.distinct.sorted
-    if (requireAll && exTerms.exists(qTerms.contains))
+    if ((allMust && exTerms.exists(qTerms.contains)) ||
+        mustArr.exists(exTerms.contains))
       return Seq.empty[(Long, Double)].toDF("docId", "score") // MUST ∧ MUST_NOT
     val meta = collectMeta(qTerms ++ exTerms)
     val dfs = meta.dfs
@@ -272,6 +297,8 @@ final class Searcher(
     val st = stats
     val scorerB = scorer
     val exSet = exTerms.toSet
+    val allMustB = allMust
+    val mustSet: Set[String] = if (mustArr.isEmpty) null else mustArr.toSet
 
     // Only shards that actually hold postings for the query's REQUIRED
     // terms can produce hits — and in AND mode only shards holding
@@ -280,7 +307,8 @@ final class Searcher(
     // collect: no discovery job, and the postings scan itself is
     // pruned in AND mode too.
     val touched =
-      if (requireAll) meta.shardsWithAll(qTerms)
+      if (allMust) meta.shardsWithAll(qTerms)
+      else if (mustArr.nonEmpty) meta.shardsWithAll(mustArr) // mixed: all MUSTs or bust
       else if (exTerms.isEmpty) meta.shards
       else meta.shardsWith(qTerms)
     val prows = pruneShards(postingRows(qTerms ++ exTerms).toDF(), touched)
@@ -305,8 +333,9 @@ final class Searcher(
           }
           // NaN = "not live" (deleted or unknown): Wand skips the doc
           Wand.topK(rows.map(mkIter).toSeq, d => dlMap.getOrElse(d, Double.NaN),
-            scorerB, st, k, requireAll, nQueryTerms, queryDfs,
-            excludeIters = exRows.map(mkIter).toSeq).iterator
+            scorerB, st, k, allMustB, nQueryTerms, queryDfs,
+            excludeIters = exRows.map(mkIter).toSeq,
+            requiredTerms = mustSet).iterator
         }
     }
     perShard.toDF()
@@ -517,6 +546,23 @@ final class Searcher(
 
   private def emptyHits: DataFrame =
     Seq.empty[(Long, Double)].toDF("docId", "score")
+
+  /** Parse a classic Lucene query string (the reference's entire search
+    * surface goes through `new QueryParser(field, analyzer).parse(q)`,
+    * TestHBaseneSearch.java) and dispatch to the matching pruned plan:
+    * phrase → positional leapfrog; all-MUST → conjunctive WAND;
+    * mixed MUST/SHOULD → ReqOpt WAND; pure SHOULD → OR WAND. A query
+    * with only prohibited clauses (or none) matches nothing — the
+    * Lucene BooleanQuery contract. */
+  def search(query: String, k: Int, scorer: Scorer = BM25()): DataFrame = {
+    val pq = QueryParser.parse(query, index.config.analyzer)
+    if (pq.phrase.nonEmpty) phraseTopK(pq.phrase, k, scorer)
+    else if (pq.must.isEmpty && pq.should.isEmpty) emptyHits
+    else if (pq.should.isEmpty)
+      topKWand(pq.must, k, scorer, requireAll = true, mustNot = pq.mustNot)
+    else topKWand(pq.must ++ pq.should, k, scorer,
+      mustNot = pq.mustNot, must = pq.must)
+  }
 
   /** Prefix query (Lucene PrefixQuery via the reference's TermEnum
     * seek, HBaseTermEnum.skipTo): expand the dictionary — a pushed

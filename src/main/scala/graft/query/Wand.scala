@@ -130,6 +130,12 @@ object Wand {
     *   from the live dl side): such docs are skipped as candidates —
     *   θ-pruning stays sound because skipping only removes hits.
     * @param requireAll conjunctive (AND) semantics when true.
+    * @param requiredTerms mixed-mode (Lucene ReqOptSumScorer): when
+    *   non-null and a strict non-empty subset of the query terms, a
+    *   candidate must contain EVERY required term (leapfrog over the
+    *   required iterators) and the remaining SHOULD iterators add
+    *   score when they also contain it. null/empty → pure OR;
+    *   equal to all terms → same as requireAll.
     * @param excludeIters MUST_NOT postings (Lucene ReqExclScorer
     *   semantics, BooleanQuery prohibited clauses the reference
     *   inherits through its reader SPI): a candidate present in ANY of
@@ -149,7 +155,8 @@ object Wand {
       queryTermCount: Int = -1,
       queryDfsIn: Seq[Double] = null,
       initialThreshold: Double = Double.NegativeInfinity,
-      excludeIters: Seq[TermIterator] = Nil): Seq[ScoredDoc] = {
+      excludeIters: Seq[TermIterator] = Nil,
+      requiredTerms: Set[String] = null): Seq[ScoredDoc] = {
 
     val excl = excludeIters.toArray
     def isExcluded(d: Long): Boolean = {
@@ -251,6 +258,77 @@ object Wand {
           i = 0
           while (i < byTerm.length) {
             if (byTerm(i).curDoc < maxDoc) byTerm(i).advanceTo(maxDoc)
+            i += 1
+          }
+        }
+      }
+      return drain()
+    }
+
+    // Mixed MUST + SHOULD (Lucene ReqOptSumScorer): leapfrog the
+    // REQUIRED iterators exactly like AND mode — candidates are docs
+    // containing every required term — and advance the optional
+    // iterators to each candidate, adding their contributions when
+    // aligned. θ-termination uses the ub sum over ALL terms (sound:
+    // it bounds any candidate's score from above).
+    val reqSet = if (requiredTerms == null) Set.empty[String] else requiredTerms
+    if (reqSet.nonEmpty) {
+      val req = byTerm.filter(it => reqSet(it.term))
+      if (req.length < reqSet.size) return drain() // shard missing a required term
+      var ubSum = 0.0
+      var optUbSum = 0.0 // optional terms' FULL ub (their blocks lag the candidate)
+      var s = 0
+      while (s < byTerm.length) {
+        val u = byTerm(s).ub * ubScale
+        ubSum += u
+        if (!reqSet(byTerm(s).term)) optUbSum += u
+        s += 1
+      }
+      var doneR = false
+      while (!doneR) {
+        var maxDoc = Long.MinValue
+        var minDoc = Long.MaxValue
+        var i = 0
+        while (i < req.length) {
+          val d = req(i).curDoc
+          if (d > maxDoc) maxDoc = d
+          if (d < minDoc) minDoc = d
+          i += 1
+        }
+        if (maxDoc == Long.MaxValue) doneR = true
+        else if (heap.size >= k && ubSum <= theta) doneR = true
+        else if (minDoc == maxDoc) {
+          // block-max filter (required terms' aligned blocks + the
+          // optionals' full ub — sound: optionals haven't advanced yet)
+          var blockSum = optUbSum
+          i = 0
+          while (i < req.length) { blockSum += req(i).blockUb * ubScale; i += 1 }
+          if (blockSum > theta || heap.size < k) {
+            val dl = dlOf(maxDoc)
+            if (!dl.isNaN && !isExcluded(maxDoc)) {
+              var m = 0
+              var score = 0.0
+              var t = 0
+              while (t < byTerm.length) { // term-ascending: fixed order
+                val it = byTerm(t)
+                if (!reqSet(it.term) && !it.exhausted && it.curDoc < maxDoc)
+                  it.advanceTo(maxDoc) // optionals advance lazily, forward-only
+                if (!it.exhausted && it.curDoc == maxDoc) {
+                  score += scorer.contribution(it.curTf.toDouble, it.df, dl, stats)
+                  m += 1
+                }
+                t += 1
+              }
+              score *= scorer.docFactor(m, queryDfs, stats)
+              offer(maxDoc, score)
+            }
+          }
+          i = 0
+          while (i < req.length) { req(i).next(); i += 1 }
+        } else {
+          i = 0
+          while (i < req.length) {
+            if (req(i).curDoc < maxDoc) req(i).advanceTo(maxDoc)
             i += 1
           }
         }

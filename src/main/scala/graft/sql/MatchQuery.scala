@@ -101,7 +101,7 @@ object MatchQuery {
 
   private def build(args: Seq[Expression]): LogicalPlan = {
     require(args.length >= 3 && args.length <= 4,
-      "usage: match_query(root, query, k[, 'or'|'and'|'phrase'])")
+      "usage: match_query(root, query, k[, 'or'|'and'|'phrase'|'query'])")
     val spark = SparkSession.active
     val rootArg = strArg(args, 0, "root")
     val root = catalog.getOrElse(rootArg, rootArg)
@@ -110,8 +110,8 @@ object MatchQuery {
     val mode =
       if (args.length > 3) strArg(args, 3, "mode").toLowerCase(java.util.Locale.ROOT)
       else "or"
-    require(mode == "or" || mode == "and" || mode == "phrase",
-      s"match_query: mode must be 'or'|'and'|'phrase', got $mode")
+    require(mode == "or" || mode == "and" || mode == "phrase" || mode == "query",
+      s"match_query: mode must be 'or'|'and'|'phrase'|'query', got $mode")
     // The query text is tokenized with the analyzer the index was
     // BUILT with (restored from the snapshot's stats.json — a
     // stats-only read, so a query that tokenizes to zero terms
@@ -123,19 +123,29 @@ object MatchQuery {
     // deduplicate. Stop words collapse out of the phrase (the
     // analyzer removes them before slots form) — same quirk as a
     // Lucene PhraseQuery built on a stop-filtered token stream.
+    // `query` mode runs the full classic parser (+must -not "phrase"
+    // AND/OR) — parse errors surface at analysis time, like any other
+    // TVF argument error; the parse also decides emptiness up front
     val (_, lightCfg) = IndexTables.loadStatsAndConfig(root)
+    val parsed =
+      if (mode == "query") graft.query.QueryParser.parse(query, lightCfg.analyzer)
+      else null
     val slots = {
       val b = Seq.newBuilder[String]
       lightCfg.analyzer.foreachEmitted(query)((t, _) => b += t)
       b.result()
     }
+    val empty =
+      if (mode == "query") parsed.phrase.isEmpty && parsed.must.isEmpty && parsed.should.isEmpty
+      else slots.isEmpty
     val df =
-      if (slots.isEmpty)
+      if (empty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           StructType(Seq(StructField("docId", LongType), StructField("score", DoubleType))))
       else {
         val searcher = new Searcher(spark, loadCached(spark, root))
-        if (mode == "phrase") searcher.phraseTopK(slots, k)
+        if (mode == "query") searcher.search(query, k)
+        else if (mode == "phrase") searcher.phraseTopK(slots, k)
         else searcher.topKWand(slots.distinct, k, BM25(), requireAll = mode == "and")
       }
     df.queryExecution.analyzed
@@ -145,8 +155,8 @@ object MatchQuery {
     FunctionIdentifier("match_query"),
     new ExpressionInfo("graft.sql.MatchQuery", null, "match_query",
       "match_query(root, query, k[, mode]) - BM25 block-max-WAND top-k " +
-        "over the persisted index at root; mode 'or' (default), 'and' " +
-        "or 'phrase'", ""),
+        "over the persisted index at root; mode 'or' (default), 'and', " +
+        "'phrase' or 'query' (classic +must -not \"phrase\" AND/OR syntax)", ""),
     (args: Seq[Expression]) => build(args))
 
   /** Imperative registration on an existing session. */

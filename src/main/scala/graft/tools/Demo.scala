@@ -67,6 +67,10 @@ object Demo {
     show("range   ", s.rangeTopK(Some(terms.head.take(1)), None, 3))
     show("fuzzy   ", s.fuzzyTopK(terms.head, 3, maxEdits = 1))
     show("snippet ", s.snippets(s.topK(terms, 2), terms, width = 8))
+    // classic query-string parser: mixed MUST+SHOULD (ReqOpt) dispatch —
+    // must match the explicit must= API call row for row
+    show("qstring ", s.search(s"+${terms.head} ${terms.drop(1).mkString(" ")}", 5))
+    show("reqopt  ", s.topKWand(terms, 5, BM25(), must = terms.take(1)))
     // SQL surface: native analyzer expressions
     graft.sql.GraftFunctions.register(spark)
     show("sql     ", spark.sql(
@@ -82,6 +86,10 @@ object Demo {
         s"SELECT * FROM match_query('demo', '${terms.mkString(" ")}', 3)"))
       show("sql/phr ", spark.sql(
         s"SELECT * FROM match_query('demo', '${terms.take(2).mkString(" ")}', 3, 'phrase')"))
+      // classic syntax through SQL — must equal the [qstring] row set
+      show("sql/qstr", spark.sql(
+        s"SELECT * FROM match_query('demo', '+${terms.head} " +
+          s"${terms.drop(1).mkString(" ")}', 5, 'query')"))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     }
     // hybrid retrieval: lexical candidates re-weighted by cosine to

@@ -109,4 +109,59 @@ class BooleanQuerySpec extends AnyFunSuite {
     assert(e.getMessage.contains("TooManyClauses"))
     idx.unpersist()
   }
+
+  test("mixed MUST+SHOULD: hit set = MUST-conjunction; scores add SHOULD contributions") {
+    for (shardSize <- Seq(16L, 1024L)) {
+      val idx = IndexBuilder.fromText(spark, docsDf(150, 23L), "doc_id", "text",
+        cfg = IndexConfig(shardSizeDocs = shardSize)).cache()
+      val s = new Searcher(spark, idx)
+      val k = idx.stats.numDocs.toInt // full ranking: set equality checkable
+
+      val mixed = topMap(s.topKWand(Seq("alpha", "kappa"), k, must = Seq("alpha")))
+      val mustOnly = topMap(s.topKWand(Seq("alpha"), k, requireAll = true))
+      val both = topMap(s.topKWand(Seq("alpha", "kappa"), k, requireAll = true))
+      // hit set: exactly the docs containing the MUST term
+      assert(mixed.keySet === mustOnly.keySet, s"shard=$shardSize")
+      // docs also containing the SHOULD term score strictly higher than
+      // their MUST-only score; docs without it score identically
+      mixed.foreach { case (d, sc) =>
+        if (both.contains(d)) assert(sc > mustOnly(d), s"doc=$d shard=$shardSize")
+        else assert(math.abs(sc - mustOnly(d)) < 1e-12, s"doc=$d shard=$shardSize")
+      }
+      // MUST ∧ MUST_NOT on the same term matches nothing
+      assert(s.topKWand(Seq("alpha", "kappa"), k, must = Seq("alpha"),
+        mustNot = Seq("alpha")).collect().isEmpty)
+      idx.unpersist()
+    }
+  }
+
+  test("search(query string): parser dispatch ≡ the explicit API calls") {
+    val idx = IndexBuilder.fromText(spark, docsDf(150, 31L), "doc_id", "text",
+      cfg = IndexConfig(shardSizeDocs = 32)).cache()
+    val s = new Searcher(spark, idx)
+    val k = idx.stats.numDocs.toInt
+
+    // pure OR
+    assert(topMap(s.search("alpha kappa", k)) ===
+      topMap(s.topKWand(Seq("alpha", "kappa"), k)))
+    // all-MUST → conjunctive leapfrog
+    assert(topMap(s.search("+alpha +kappa", k)) ===
+      topMap(s.topKWand(Seq("alpha", "kappa"), k, requireAll = true)))
+    assert(topMap(s.search("alpha AND kappa", k)) ===
+      topMap(s.topKWand(Seq("alpha", "kappa"), k, requireAll = true)))
+    // mixed → ReqOpt
+    assert(topMap(s.search("+alpha kappa", k)) ===
+      topMap(s.topKWand(Seq("alpha", "kappa"), k, must = Seq("alpha"))))
+    // MUST_NOT rides along
+    assert(topMap(s.search("+alpha kappa -zeta", k)) ===
+      topMap(s.topKWand(Seq("alpha", "kappa"), k, must = Seq("alpha"),
+        mustNot = Seq("zeta"))))
+    // quoted phrase dispatches to the positional plan
+    assert(topMap(s.search("\"alpha kappa\"", k)) ===
+      topMap(s.phraseTopK(Seq("alpha", "kappa"), k)))
+    // only-prohibited and empty queries match nothing (Lucene contract)
+    assert(s.search("-alpha", k).collect().isEmpty)
+    assert(s.search("  ", k).collect().isEmpty)
+    idx.unpersist()
+  }
 }

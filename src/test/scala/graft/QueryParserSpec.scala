@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analysis.Analyzer
+import graft.query.{ParsedQuery, QueryParser}
+
+/** Classic query-string grammar (the reference's QueryParser surface,
+  * TestHBaseneSearch.java): occur bucketing for +/-/!/NOT modifiers,
+  * the AND previous-clause upgrade, quoted phrases, analyzer
+  * normalization inside clauses, and the fail-loud contracts. */
+class QueryParserSpec extends AnyFunSuite {
+
+  private def p(q: String): ParsedQuery = QueryParser.parse(q, Analyzer)
+
+  test("bare terms are SHOULD under the default OR operator") {
+    assert(p("alpha beta") === ParsedQuery(Nil, Seq("alpha", "beta"), Nil, Nil))
+  }
+
+  test("+ / - / ! / NOT modifiers bucket clauses") {
+    val pq = p("+alpha beta -gamma !delta NOT eps")
+    assert(pq.must === Seq("alpha"))
+    assert(pq.should === Seq("beta"))
+    assert(pq.mustNot === Seq("gamma", "delta", "eps"))
+  }
+
+  test("AND upgrades the previous clause and requires the next (QueryParserBase.addClause)") {
+    assert(p("alpha AND beta") === ParsedQuery(Seq("alpha", "beta"), Nil, Nil, Nil))
+    // a AND b c → +a +b c
+    assert(p("alpha AND beta gamma") ===
+      ParsedQuery(Seq("alpha", "beta"), Seq("gamma"), Nil, Nil))
+    // a b AND c → a +b +c
+    assert(p("alpha beta AND gamma") ===
+      ParsedQuery(Seq("beta", "gamma"), Seq("alpha"), Nil, Nil))
+    // AND never upgrades a prohibited clause
+    assert(p("-alpha AND beta") ===
+      ParsedQuery(Seq("beta"), Nil, Seq("alpha"), Nil))
+    // OR is a no-op under the default-OR operator
+    assert(p("alpha OR beta") === ParsedQuery(Nil, Seq("alpha", "beta"), Nil, Nil))
+    assert(p("alpha && beta || gamma") ===
+      ParsedQuery(Seq("alpha", "beta"), Seq("gamma"), Nil, Nil))
+  }
+
+  test("quoted phrase keeps analyzer slot order; 1-slot phrase degrades to a term clause") {
+    assert(p("\"hash join probe\"") ===
+      ParsedQuery(Nil, Nil, Nil, Seq("hash", "join", "probe")))
+    assert(p("\"Spark!\"") === ParsedQuery(Nil, Seq("spark"), Nil, Nil))
+  }
+
+  test("clause text runs through the index analyzer (case, punctuation, splits)") {
+    val pq = p("+Spark, -Window?")
+    assert(pq.must === Seq("spark"))
+    assert(pq.mustNot === Seq("window"))
+    // one clause analyzing to several terms keeps the clause's occur
+    // (the standard analyzer keeps snake_case whole but splits on '.')
+    assert(p("+foo.bar").must === Seq("foo", "bar"))
+  }
+
+  test("fail-loud contracts: phrase-as-clause, prohibited phrase, two phrases") {
+    intercept[IllegalArgumentException](p("\"hash join\" spark"))
+    intercept[IllegalArgumentException](p("-\"hash join\""))
+    intercept[IllegalArgumentException](p("\"hash join\" \"sort merge\""))
+  }
+
+  test("degenerate inputs: empty, operators only, stopword-ish empties, duplicates") {
+    assert(p("").isEmpty)
+    assert(p("AND OR NOT").mustNot.isEmpty) // trailing NOT never binds
+    assert(p("alpha alpha +alpha") ===
+      ParsedQuery(Seq("alpha"), Seq("alpha"), Nil, Nil)) // per-bucket dedup
+    // unterminated quote: rest of string is the phrase
+    assert(p("\"hash join") === ParsedQuery(Nil, Nil, Nil, Seq("hash", "join")))
+  }
+}

@@ -11,8 +11,12 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has an oracle and vice versa") {
-    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet)
+  test("every query has an oracle and vice versa (documented rows-only exceptions)") {
+    // rows-only: the driver records a weaker rows>0 check; each needs a
+    // content-pinning sbt spec instead (snippet_topk → SnippetSpec)
+    val rowsOnly = Set("snippet_topk")
+    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet -- rowsOnly)
+    assert(rowsOnly.subsetOf(SparkEntry.queries.keySet))
   }
 
   test("all queries run and return rows at sf0.001") {

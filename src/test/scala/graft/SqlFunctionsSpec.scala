@@ -123,6 +123,20 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(filtered.nonEmpty && filtered.forall(_ % 2 == 0))
     // empty query degrades to an empty relation, not an error
     assert(viaSql(s"SELECT * FROM match_query('$dir', 'the of and', 5)").isEmpty)
+
+    // 'query' mode: classic +must -not syntax → ReqOpt WAND dispatch
+    val s2 = new graft.query.Searcher(spark,
+      graft.table.IndexTables.load(spark, dir))
+    assert(viaSql(s"SELECT * FROM match_query('$dir', '+spark merge -window', 10, 'query')")
+      === s2.topKWand(Seq("spark", "merge"), 10, graft.query.BM25(),
+        must = Seq("spark"), mustNot = Seq("window"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // 'query' mode with a quoted phrase = the phrase plan
+    assert(viaSql(s"SELECT * FROM match_query('$dir', '\"alpha merge\"', 10, 'query')")
+      === s2.phraseTopK(Seq("alpha", "merge"), 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // only-prohibited query → empty relation, before any table load
+    assert(viaSql(s"SELECT * FROM match_query('$dir', '-spark', 5, 'query')").isEmpty)
   }
 
   test("GraftExtensions injects the same function set") {

@@ -66,4 +66,49 @@ class WandFuzzSpec extends AnyFunSuite {
     run(seed = 99L, nDocs = 200, shardSize = 64)
     run(seed = 1234L, nDocs = 80, shardSize = 1024) // single shard
   }
+
+  /** Mixed MUST + SHOULD (ReqOptSumScorer): the WAND leapfrog-over-
+    * required path must be rank/score-identical to the exhaustive
+    * plan's must-filter for every must-subset shape, including a
+    * missing MUST term (→ empty) and must == all terms (≡ AND). */
+  private def runReqOpt(seed: Long, nDocs: Int, shardSize: Long): Unit = {
+    val idx = IndexBuilder.fromCodeDocs(spark, corpus(seed, nDocs).toDS(),
+      IndexConfig(shardSizeDocs = shardSize)).cache()
+    val s = new Searcher(spark, idx)
+    val cases = Seq(
+      (Seq("alpha", "beta"), Seq("alpha")),
+      (Seq("alpha", "rare2", "gamma"), Seq("rare2")),
+      (Seq("gamma", "delta", "eps"), Seq("gamma", "delta")),
+      (Seq("alpha", "beta", "gamma", "theta"), Seq("theta", "beta")),
+      (Seq("zzz_missing", "kappa"), Seq("zzz_missing")), // missing MUST → empty
+      (Seq("alpha", "beta"), Seq("alpha", "beta"))) // must == all ≡ AND
+    for {
+      (terms, must) <- cases
+      k <- Seq(1, 3, 10)
+      scorer <- Seq[Scorer](BM25(), LegacyTfIdf, Boosted(BM25(), 3.7))
+    } {
+      val tag = s"reqopt seed=$seed shard=$shardSize terms=$terms must=$must " +
+        s"k=$k scorer=${scorer.name}"
+      val exact = s.topK(terms, k, scorer, must = must).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val wand = s.topKWand(terms, k, scorer, must = must).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(wand.map(_._1).toSeq === exact.map(_._1).toSeq, tag)
+      wand.zip(exact).foreach { case (w, e) =>
+        assert(math.abs(w._2 - e._2) <= 1e-12 * math.max(1.0, math.abs(e._2)), tag)
+      }
+      if (must == terms) { // degenerate mixed mode ≡ the AND leapfrog
+        val and = s.topKWand(terms, k, scorer, requireAll = true).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(wand.toSeq === and, tag)
+      }
+    }
+    idx.unpersist()
+  }
+
+  test("reqopt fuzz: must-subset × scorers × k, exhaustive ≡ WAND") {
+    runReqOpt(seed = 7L, nDocs = 120, shardSize = 16)
+    runReqOpt(seed = 99L, nDocs = 200, shardSize = 64)
+    runReqOpt(seed = 1234L, nDocs = 80, shardSize = 1024)
+  }
 }
