@@ -50,6 +50,7 @@ object SparkEntry {
     "match_sql" -> ((s, d) => E.matchSql(s, d)),
     "phrase_sql" -> ((s, d) => E.phraseSql(s, d)),
     "query_sql" -> ((s, d) => E.querySql(s, d)),
+    "boolean_phrase" -> ((s, d) => E.booleanPhrase(s, d)),
     // rows-only driver check (snippet text pinned by SnippetSpec —
     // the analyzer offset walk has no portable SQL recomputation)
     "snippet_topk" -> ((s, d) => E.snippetTopK(s, d)),

@@ -150,6 +150,14 @@ object EngineQueries {
       s"SELECT * FROM match_query('$root', '+spark merge -window', 10, 'query')"))
   }
 
+  /** Boolean query with a phrase clause (Lucene BooleanQuery +
+    * PhraseQuery sub-clause): `+"hash join" spark -dup` — MUST
+    * phrase bounds the hit set via the pruned positional path, the
+    * SHOULD term adds score, the NOT term anti-joins; end-to-end
+    * through the classic parser. */
+  def booleanPhrase(s: SparkSession, dir: String): DataFrame =
+    asTopK(searcher(s, dir).search("+\"hash join\" spark -dup", 10))
+
   /** Best-window snippets over the top hits (Lucene-contrib
     * Highlighter semantics) — driver-checked rows-only (the analyzer
     * offset walk is not expressible in portable SQL; SnippetSpec pins

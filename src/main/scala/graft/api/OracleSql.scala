@@ -151,6 +151,36 @@ WHERE term IN ('spark', 'merge', 'window', 'dup') GROUP BY 1"""),
     // MUST spark, SHOULD merge, MUST_NOT window
     "query_sql" -> bm25TopK(Seq("merge", "spark"), 10, requireAll = false,
       mustNot = Seq("window"), must = Seq("spark")),
+    // boolean query with a phrase clause: '+"hash join" spark -dup'.
+    // The phrase clause scores like phrase_bm25 (tf = consecutive-pair
+    // count, df = docs containing the phrase); the SHOULD term adds its
+    // BM25 contribution; hits must contain the phrase and not 'dup'.
+    "boolean_phrase" -> (TOK + """
+, starts AS (
+  SELECT a.doc_id, a.pos FROM emitted a
+  JOIN emitted b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'hash' AND b.term = 'join'),
+ptf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM starts GROUP BY 1),
+pdf AS (SELECT count(*)::DOUBLE AS df FROM ptf),
+ttf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM emitted
+        WHERE term = 'spark' GROUP BY 1),
+tdf AS (SELECT count(*)::DOUBLE AS df FROM
+        (SELECT DISTINCT doc_id FROM emitted WHERE term = 'spark')),
+contrib AS (
+  SELECT p.doc_id,
+         ln(1.0 + (c.n - f.df + 0.5) / (f.df + 0.5))
+           * p.tf / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl)) AS s
+  FROM ptf p CROSS JOIN pdf f JOIN dl d USING (doc_id) CROSS JOIN corpus c
+  UNION ALL
+  SELECT t.doc_id,
+         ln(1.0 + (c.n - f.df + 0.5) / (f.df + 0.5))
+           * t.tf / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl))
+  FROM ttf t CROSS JOIN tdf f JOIN dl d USING (doc_id) CROSS JOIN corpus c),
+scored2 AS (SELECT doc_id, sum(s) AS s FROM contrib GROUP BY 1)
+SELECT doc_id, round(s, 4) AS score FROM scored2
+WHERE doc_id IN (SELECT doc_id FROM ptf)
+  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM emitted WHERE term = 'dup')
+ORDER BY s DESC, doc_id LIMIT 10"""),
     "prefix_topk" -> expansionTopK("term LIKE 's%'", 10),
     "wildcard_topk" -> expansionTopK("regexp_matches(term, '^s.a.*$')", 10),
     "range_topk" -> expansionTopK("term >= 'h' AND term < 'k'", 10),

@@ -4,16 +4,26 @@ import graft.analysis.TextAnalyzer
 
 /** A classic query string parsed into Lucene BooleanQuery occur
   * buckets. Terms are post-analysis (the index's own analyzer),
-  * deduplicated per bucket; `phrase` keeps the emitted slot order of a
-  * quoted clause (duplicates included — phrase tf needs them).
+  * deduplicated per bucket; each phrase clause keeps the emitted slot
+  * order of its quoted text (duplicates included — phrase tf needs
+  * them) and lives in the bucket its occur flag selects.
   */
 final case class ParsedQuery(
     must: Seq[String],
     should: Seq[String],
     mustNot: Seq[String],
-    phrase: Seq[String]) {
+    mustPhrases: Seq[Seq[String]] = Nil,
+    shouldPhrases: Seq[Seq[String]] = Nil,
+    notPhrases: Seq[Seq[String]] = Nil) {
   def isEmpty: Boolean =
-    must.isEmpty && should.isEmpty && mustNot.isEmpty && phrase.isEmpty
+    must.isEmpty && should.isEmpty && mustNot.isEmpty &&
+      mustPhrases.isEmpty && shouldPhrases.isEmpty && notPhrases.isEmpty
+  /** Any clause that can produce a hit (NOT clauses alone match nothing). */
+  def hasScoring: Boolean =
+    must.nonEmpty || should.nonEmpty || mustPhrases.nonEmpty || shouldPhrases.nonEmpty
+  /** Scoring phrase clauses with their MUST flag, input order. */
+  def scoringPhrases: Seq[(Seq[String], Boolean)] =
+    mustPhrases.map(_ -> true) ++ shouldPhrases.map(_ -> false)
 }
 
 /** Classic Lucene query-string syntax — the surface the reference's
@@ -30,11 +40,12 @@ final case class ParsedQuery(
   *                         CONJ_AND upgrades the PREVIOUS clause and
   *                         requires the current one)
   *   - `a OR b` / `||`   → both SHOULD (no-op under default OR)
-  *   - `"a b c"`         → quoted phrase, analyzer slot order kept
+  *   - `"a b c"`         → quoted phrase clause (any occur: bare /
+  *     `+"..."` / `-"..."` — Lucene BooleanQuery with PhraseQuery
+  *     clauses; mixed term+phrase queries dispatch to the clause-level
+  *     boolean scorer, `Searcher.scoredDocsBoolean`)
   *
-  * Divergences, both fail-loud or documented:
-  *   - a quoted phrase must be the WHOLE query (phrase-as-clause inside
-  *     a boolean tree is rejected, not silently re-scored);
+  * Divergences, documented:
   *   - a single clause that analyzes to several terms (e.g.
   *     `+snake_case` under the code analyzer) contributes each term
   *     with the clause's occur flag, where Lucene would synthesize a
@@ -92,10 +103,12 @@ object QueryParser {
       }
     }
 
-    var phrase = Seq.empty[String]
     val must = Seq.newBuilder[String]
     val should = Seq.newBuilder[String]
     val not = Seq.newBuilder[String]
+    val mustP = Seq.newBuilder[Seq[String]]
+    val shouldP = Seq.newBuilder[Seq[String]]
+    val notP = Seq.newBuilder[Seq[String]]
     clauses.foreach { case (occur, text, isPhrase) =>
       val slots = {
         val b = Seq.newBuilder[String]
@@ -103,11 +116,10 @@ object QueryParser {
         b.result()
       }
       if (slots.nonEmpty) {
-        if (isPhrase && slots.length > 1) {
-          require(occur != NOT,
-            "query parser: a prohibited phrase (-\"...\") is unsupported")
-          require(phrase.isEmpty, "query parser: at most one quoted phrase")
-          phrase = slots
+        if (isPhrase && slots.length > 1) occur match {
+          case MUST => mustP += slots
+          case NOT => notP += slots
+          case _ => shouldP += slots
         } else occur match { // 1-slot phrase degrades to its term clause
           case MUST => must ++= slots
           case NOT => not ++= slots
@@ -115,13 +127,9 @@ object QueryParser {
         }
       }
     }
-    val pq = ParsedQuery(must.result().distinct, should.result().distinct,
-      not.result().distinct, phrase)
-    require(pq.phrase.isEmpty ||
-        (pq.must.isEmpty && pq.should.isEmpty && pq.mustNot.isEmpty),
-      "query parser: a quoted phrase must be the whole query " +
-        "(phrase-as-clause inside a boolean query is unsupported)")
-    pq
+    ParsedQuery(must.result().distinct, should.result().distinct,
+      not.result().distinct, mustP.result().distinct,
+      shouldP.result().distinct, notP.result().distinct)
   }
 
   /** QueryParserBase.addClause for the flat default-OR grammar: a

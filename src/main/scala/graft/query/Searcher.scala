@@ -360,6 +360,21 @@ final class Searcher(
     * from BOTH cogroup sides via the single metadata collect.
     * Rank/hash-identical to phraseTopKExhaustive (asserted in tests). */
   def phraseTopK(terms: Seq[String], k: Int, scorer: Scorer = BM25()): DataFrame = {
+    val matched = phraseMatchRows(terms, scorer)
+    val phraseDf = matched.count().toDouble // docs containing the phrase
+    matched
+      .withColumn("score", scorer.contributionCol(
+        col("tf").cast("double"), lit(phraseDf), col("dl"), stats))
+      .orderBy(desc("score"), asc("docId")).limit(k)
+      .select("docId", "score")
+  }
+
+  /** Pruned positional phrase matching, factored for reuse by boolean
+    * queries with phrase clauses: (docId, tf, dl) for every LIVE doc
+    * containing the exact slot sequence. Eagerly materialized
+    * (localCheckpoint) so the cogroup runs ONCE for both the phrase-df
+    * count and any downstream scoring plan. */
+  private def phraseMatchRows(terms: Seq[String], scorer: Scorer): DataFrame = {
     require(terms.nonEmpty)
     val slots = terms
     val qTerms = terms.distinct.sorted
@@ -368,7 +383,7 @@ final class Searcher(
       if (qTerms.exists(t => !meta.dfs.contains(t))) Array.empty[Long]
       else meta.shardsWithAll(qTerms)
     if (shards.isEmpty)
-      return Seq.empty[(Long, Double)].toDF("docId", "score")
+      return Seq.empty[(Long, Int, Double)].toDF("docId", "tf", "dl")
     val dfs = meta.dfs
     val st = stats
     val scorerB = scorer
@@ -407,12 +422,7 @@ final class Searcher(
       // eager materialization: the cogroup runs ONCE for both the df
       // count and the scoring plan; not pinned in the CacheManager
       .localCheckpoint()
-    val phraseDf = matched.count().toDouble // docs containing the phrase
     matched
-      .withColumn("score", scorerB.contributionCol(
-        col("tf").cast("double"), lit(phraseDf), col("dl"), st))
-      .orderBy(desc("score"), asc("docId")).limit(k)
-      .select("docId", "score")
   }
 
   /** Exhaustive phrase path (corpus-wide positional explode + equi-join
@@ -550,18 +560,110 @@ final class Searcher(
   /** Parse a classic Lucene query string (the reference's entire search
     * surface goes through `new QueryParser(field, analyzer).parse(q)`,
     * TestHBaseneSearch.java) and dispatch to the matching pruned plan:
-    * phrase → positional leapfrog; all-MUST → conjunctive WAND;
-    * mixed MUST/SHOULD → ReqOpt WAND; pure SHOULD → OR WAND. A query
-    * with only prohibited clauses (or none) matches nothing — the
-    * Lucene BooleanQuery contract. */
+    * single bare phrase → positional leapfrog; all-MUST terms →
+    * conjunctive WAND; mixed MUST/SHOULD terms → ReqOpt WAND; pure
+    * SHOULD → OR WAND; any query mixing phrase clauses with other
+    * clauses (or with a NOT, or several phrases) → the clause-level
+    * boolean scorer. A query with only prohibited clauses (or none)
+    * matches nothing — the Lucene BooleanQuery contract. */
   def search(query: String, k: Int, scorer: Scorer = BM25()): DataFrame = {
     val pq = QueryParser.parse(query, index.config.analyzer)
-    if (pq.phrase.nonEmpty) phraseTopK(pq.phrase, k, scorer)
-    else if (pq.must.isEmpty && pq.should.isEmpty) emptyHits
+    val phrases = pq.scoringPhrases
+    if (!pq.hasScoring) emptyHits
+    else if (phrases.nonEmpty || pq.notPhrases.nonEmpty) {
+      // fast path: exactly one scoring phrase and nothing else
+      if (phrases.length == 1 && pq.must.isEmpty && pq.should.isEmpty &&
+          pq.mustNot.isEmpty && pq.notPhrases.isEmpty)
+        phraseTopK(phrases.head._1, k, scorer)
+      else scoredDocsBoolean(pq, scorer)
+        .orderBy(desc("score"), asc("docId")).limit(k)
+        .select("docId", "score")
+    } else if (pq.must.isEmpty && pq.should.isEmpty) emptyHits
     else if (pq.should.isEmpty)
       topKWand(pq.must, k, scorer, requireAll = true, mustNot = pq.mustNot)
     else topKWand(pq.must ++ pq.should, k, scorer,
       mustNot = pq.mustNot, must = pq.must)
+  }
+
+  /** Boolean query whose clauses mix terms and phrases (Lucene
+    * BooleanQuery with PhraseQuery sub-clauses): per-clause
+    * contribution rows — term clauses from the postings join, each
+    * phrase clause from the PRUNED positional path (`phraseMatchRows`;
+    * positions never explode corpus-wide) scored against the phrase's
+    * own live df like `phraseTopK` — unioned and folded per doc in a
+    * fixed clause order. MUST semantics count matched MUST clauses
+    * (term or phrase); NOT drops docs matching any prohibited term or
+    * phrase via one docId anti-join. The aggregation reuses the
+    * docId-hash partitioning, so candidate volume is bounded by the
+    * clauses' own match volumes — the phrase side is already pruned,
+    * and a MUST phrase bounds the surviving set harder than any term.
+    */
+  def scoredDocsBoolean(pq: ParsedQuery, scorer: Scorer = BM25()): DataFrame = {
+    val phrases = pq.scoringPhrases
+    require(pq.hasScoring, "boolean query needs at least one scoring clause")
+    val qTerms = (pq.must ++ pq.should).distinct.sorted
+    val mustTermSet = pq.must.distinct.toSet
+    val st = stats
+    val sc = scorer
+    val meta = if (qTerms.isEmpty) null else collectMeta(qTerms)
+
+    // term clause rows: (clause, docId, tscore, isMust)
+    val termRows: Option[DataFrame] = if (qTerms.isEmpty) None else {
+      val dfLookup = typedlit(meta.dfs.map { case (t, d) => t -> d.toDouble })
+      Some(matches(qTerms).toDF()
+        .join(dlLookup(meta), Seq("docId"))
+        .withColumn("df", element_at(dfLookup, col("term")))
+        .select(
+          concat(lit("t:"), col("term")).as("clause"),
+          col("docId"),
+          sc.contributionCol(col("tf").cast("double"), col("df"), col("dl"), st)
+            .as("tscore"),
+          array_contains(typedlit(mustTermSet.toSeq.sorted), col("term"))
+            .as("isMust")))
+    }
+    // phrase clause rows: one pruned positional match set per clause;
+    // df = live docs containing the phrase (same contract as phraseTopK)
+    val phraseRows: Seq[(DataFrame, Double)] = phrases.zipWithIndex.map {
+      case ((slots, isMust), i) =>
+        val m = phraseMatchRows(slots, sc)
+        val pdf = m.count().toDouble
+        (m.select(
+          lit(s"p:$i").as("clause"),
+          col("docId"),
+          sc.contributionCol(col("tf").cast("double"), lit(pdf), col("dl"), st)
+            .as("tscore"),
+          lit(isMust).as("isMust")), pdf)
+    }
+    val allRows = (termRows.toSeq ++ phraseRows.map(_._1)).reduce(_ union _)
+
+    val nMustClauses = mustTermSet.size + pq.mustPhrases.size
+    // docFactor inputs are order-free sums over per-clause dfs
+    val queryDfs =
+      qTerms.map(t => meta.dfs.getOrElse(t, 0L).toDouble) ++ phraseRows.map(_._2)
+    val factorUdf = udf((n: Int) => sc.docFactor(n, queryDfs, st))
+
+    val perDoc = allRows.groupBy("docId")
+      .agg(sort_array(collect_list(
+        struct(col("clause"), col("tscore"), col("isMust")))).as("cs"))
+      .withColumn("nMatched", size(col("cs")))
+      .withColumn("nMust",
+        size(filter(col("cs"), x => x.getField("isMust"))))
+      .withColumn("rawScore",
+        aggregate(col("cs"), lit(0.0), (acc, x) => acc + x.getField("tscore")))
+      .drop("cs")
+    val filtered =
+      if (nMustClauses == 0) perDoc
+      else perDoc.where(col("nMust") === nMustClauses)
+    val scored = filtered
+      .withColumn("score", col("rawScore") * factorUdf(col("nMatched")))
+      .select("docId", "score", "nMatched")
+    // prohibited clauses: one anti-join over the union of their docIds
+    val notDfs =
+      (if (pq.mustNot.nonEmpty)
+        Seq(matches(pq.mustNot.distinct).toDF().select("docId")) else Nil) ++
+        pq.notPhrases.map(p => phraseMatchRows(p, sc).select("docId"))
+    if (notDfs.isEmpty) scored
+    else scored.join(notDfs.reduce(_ union _).distinct(), Seq("docId"), "left_anti")
   }
 
   /** Prefix query (Lucene PrefixQuery via the reference's TermEnum

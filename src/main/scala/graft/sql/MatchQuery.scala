@@ -136,7 +136,7 @@ object MatchQuery {
       b.result()
     }
     val empty =
-      if (mode == "query") parsed.phrase.isEmpty && parsed.must.isEmpty && parsed.should.isEmpty
+      if (mode == "query") !parsed.hasScoring
       else slots.isEmpty
     val df =
       if (empty)

@@ -71,6 +71,8 @@ object Demo {
     // must match the explicit must= API call row for row
     show("qstring ", s.search(s"+${terms.head} ${terms.drop(1).mkString(" ")}", 5))
     show("reqopt  ", s.topKWand(terms, 5, BM25(), must = terms.take(1)))
+    // phrase clause inside a boolean query (clause-level scorer)
+    show("boolphr ", s.search(s"""+"${terms.take(2).mkString(" ")}" ${terms.head}""", 5))
     // SQL surface: native analyzer expressions
     graft.sql.GraftFunctions.register(spark)
     show("sql     ", spark.sql(

@@ -160,6 +160,15 @@ object ScalingBench {
         "or_mixed" -> (() => s.topK(Seq("id17", "return", "id999"), 10).collect()),
         "wand_or" -> (() => s.topKWand(Seq("id17", "return", "id999"), 10).collect()),
         "wand_skew" -> (() => s.topKWand(Seq("public", "import"), 10).collect()),
+        // mixed MUST+SHOULD: a rare MUST term leapfrogs two corpus-wide
+        // optionals (the pruning case ReqOpt exists for), and the same
+        // shape with a common MUST (worst case: optionals rarely skip)
+        "reqopt_rare" -> (() => s.topKWand(Seq("public", "import"), 10,
+          must = Seq("id999")).collect()),
+        "reqopt_skew" -> (() => s.topKWand(Seq("id17", "id999"), 10,
+          must = Seq("public")).collect()),
+        // full parser dispatch (classic syntax → ReqOpt + exclusion)
+        "qstring_mixed" -> (() => s.search("+id999 public import -x7", 10).collect()),
         // phrase: pruned positional path vs the exhaustive explode-join
         // on the same phrases — "public class" opens every java/scala
         // doc (common-common), "return x5" pairs a corpus-wide term

@@ -164,4 +164,55 @@ class BooleanQuerySpec extends AnyFunSuite {
     assert(s.search("  ", k).collect().isEmpty)
     idx.unpersist()
   }
+
+  test("phrase clauses inside boolean queries: MUST bounds, additive scores, NOT drops") {
+    import graft.query.ParsedQuery
+    val docs = Seq(
+      (0L, "alpha kappa zeta"), // phrase + zeta
+      (1L, "alpha kappa"), // phrase only
+      (2L, "kappa alpha zeta"), // terms, no phrase
+      (3L, "zeta zeta"), // zeta only
+      (4L, "alpha kappa alpha kappa") // phrase tf 2
+    ).toDF("doc_id", "text")
+    for (shardSize <- Seq(2L, 1024L)) {
+      val idx = IndexBuilder.fromText(spark, docs, "doc_id", "text",
+        cfg = IndexConfig(shardSizeDocs = shardSize)).cache()
+      val s = new Searcher(spark, idx)
+      val k = 10
+      val phraseOnly = topMap(s.phraseTopK(Seq("alpha", "kappa"), k))
+      val zetaOnly = topMap(s.topK(Seq("zeta"), k))
+      assert(phraseOnly.keySet === Set(0L, 1L, 4L), s"shard=$shardSize")
+
+      // MUST phrase + SHOULD term: hit set = phrase matches; score =
+      // phrase contribution + zeta contribution where present
+      val mixed = topMap(s.scoredDocsBoolean(
+        ParsedQuery(Nil, Seq("zeta"), Nil, Seq(Seq("alpha", "kappa"))))
+        .select("docId", "score"))
+      assert(mixed.keySet === phraseOnly.keySet, s"shard=$shardSize")
+      mixed.foreach { case (d, sc) =>
+        val expect = phraseOnly(d) + zetaOnly.getOrElse(d, 0.0)
+        assert(math.abs(sc - expect) < 1e-9, s"doc=$d shard=$shardSize")
+      }
+      // same query through the parser end-to-end
+      assert(topMap(s.search("+\"alpha kappa\" zeta", k)) === mixed,
+        s"shard=$shardSize")
+
+      // SHOULD phrase + SHOULD term: union of hit sets
+      val orMixed = topMap(s.search("\"alpha kappa\" zeta", k))
+      assert(orMixed.keySet === phraseOnly.keySet ++ zetaOnly.keySet)
+
+      // NOT phrase: drops exactly the phrase matches from a term query
+      val notPhrase = topMap(s.search("zeta -\"alpha kappa\"", k))
+      assert(notPhrase.keySet === zetaOnly.keySet -- phraseOnly.keySet)
+      notPhrase.foreach { case (d, sc) =>
+        assert(math.abs(sc - zetaOnly(d)) < 1e-12, s"doc=$d")
+      }
+
+      // two phrase clauses, one MUST one SHOULD
+      val twoPhrases = topMap(s.search("+\"alpha kappa\" \"kappa zeta\"", k))
+      assert(twoPhrases.keySet === phraseOnly.keySet)
+      assert(twoPhrases(0L) > phraseOnly(0L)) // doc0 has "kappa zeta" too
+      idx.unpersist()
+    }
+  }
 }

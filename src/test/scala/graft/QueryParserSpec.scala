@@ -43,8 +43,24 @@ class QueryParserSpec extends AnyFunSuite {
 
   test("quoted phrase keeps analyzer slot order; 1-slot phrase degrades to a term clause") {
     assert(p("\"hash join probe\"") ===
-      ParsedQuery(Nil, Nil, Nil, Seq("hash", "join", "probe")))
-    assert(p("\"Spark!\"") === ParsedQuery(Nil, Seq("spark"), Nil, Nil))
+      ParsedQuery(Nil, Nil, Nil, Nil, Seq(Seq("hash", "join", "probe")), Nil))
+    assert(p("\"Spark!\"") === ParsedQuery(Nil, Seq("spark"), Nil))
+  }
+
+  test("phrase clauses carry their occur flag inside boolean queries") {
+    val pq = p("+\"hash join\" spark -window -\"sort merge\"")
+    assert(pq.mustPhrases === Seq(Seq("hash", "join")))
+    assert(pq.should === Seq("spark"))
+    assert(pq.mustNot === Seq("window"))
+    assert(pq.notPhrases === Seq(Seq("sort", "merge")))
+    // AND upgrades a preceding SHOULD phrase like any clause
+    val pq2 = p("\"hash join\" AND spark")
+    assert(pq2.mustPhrases === Seq(Seq("hash", "join")))
+    assert(pq2.must === Seq("spark"))
+    assert(pq2.shouldPhrases.isEmpty)
+    // several phrases in one query
+    val pq3 = p("\"hash join\" \"sort merge\"")
+    assert(pq3.shouldPhrases === Seq(Seq("hash", "join"), Seq("sort", "merge")))
   }
 
   test("clause text runs through the index analyzer (case, punctuation, splits)") {
@@ -56,18 +72,15 @@ class QueryParserSpec extends AnyFunSuite {
     assert(p("+foo.bar").must === Seq("foo", "bar"))
   }
 
-  test("fail-loud contracts: phrase-as-clause, prohibited phrase, two phrases") {
-    intercept[IllegalArgumentException](p("\"hash join\" spark"))
-    intercept[IllegalArgumentException](p("-\"hash join\""))
-    intercept[IllegalArgumentException](p("\"hash join\" \"sort merge\""))
-  }
-
   test("degenerate inputs: empty, operators only, stopword-ish empties, duplicates") {
     assert(p("").isEmpty)
     assert(p("AND OR NOT").mustNot.isEmpty) // trailing NOT never binds
     assert(p("alpha alpha +alpha") ===
-      ParsedQuery(Seq("alpha"), Seq("alpha"), Nil, Nil)) // per-bucket dedup
+      ParsedQuery(Seq("alpha"), Seq("alpha"), Nil)) // per-bucket dedup
     // unterminated quote: rest of string is the phrase
-    assert(p("\"hash join") === ParsedQuery(Nil, Nil, Nil, Seq("hash", "join")))
+    assert(p("\"hash join") ===
+      ParsedQuery(Nil, Nil, Nil, Nil, Seq(Seq("hash", "join")), Nil))
+    // only prohibited clauses → no scoring clause
+    assert(!p("-alpha -\"hash join\"").hasScoring)
   }
 }
