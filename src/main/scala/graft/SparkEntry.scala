@@ -57,6 +57,7 @@ object SparkEntry {
     "bm25_tombstone" -> ((s, d) => E.bm25Tombstone(s, d)),
     "bm25_wand_tombstone" -> ((s, d) => E.bm25WandTombstone(s, d)),
     "bm25_after_delete" -> ((s, d) => E.bm25AfterDelete(s, d)),
+    "bm25_after_update" -> ((s, d) => E.bm25AfterUpdate(s, d)),
     // ---- training-data pipeline ----
     "dedup_exact" -> ((s, d) => T.dedupExact(T.documents(s, d))),
     "dedup_jaccard" -> ((s, d) => T.ngramJaccardPairs(T.documents(s, d), 0.8)),

@@ -245,6 +245,49 @@ object EngineQueries {
   def bm25AfterDelete(s: SparkSession, dir: String): DataFrame =
     asTopK(new Searcher(s, appliedIndex(s, dir)).topK(Seq("spark"), 10))
 
+  /** IndexWriter.updateDocument parity end-to-end on the segmented
+    * root: docs with doc_id ≡ 7 (mod 10) are REPLACED (new docIds =
+    * old + 100000, text gains the marker token 'graftupdated'), the
+    * update is compacted (physical apply: stats/df reflect the updated
+    * corpus), and an OR query over (marker, spark) ranks over the
+    * post-update index. Oracle: full recompute over the updated
+    * corpus. Built once per JVM per dir (segment root on temp disk,
+    * reclaimed at exit). */
+  private val updatedCache = TrieMap.empty[String, InvertedIndex]
+  private val updatedLock = new Object
+
+  private def updatedIndex(s: SparkSession, dir: String): InvertedIndex =
+    updatedCache.get(dir) match {
+      case Some(idx) => idx
+      case None => updatedLock.synchronized {
+        updatedCache.getOrElseUpdate(dir, {
+          import graft.streaming.StreamingIndexer
+          val rootPath = java.nio.file.Files.createTempDirectory("graft_upd_root")
+          deleteAtExit(rootPath)
+          val root = rootPath.toString
+          val docs = TextPipeline.documents(s, dir)
+            .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+          StreamingIndexer.append(s, root, docs, "doc_id", "text",
+            cfg = IndexConfig(shardSizeDocs = 1024))
+          val old = docs.where(col("doc_id") % 10 === 7)
+          StreamingIndexer.updateDocuments(s, root,
+            old.select(col("doc_id")),
+            old.select((col("doc_id") + 100000L).as("doc_id"),
+              concat(col("text"), lit(" graftupdated")).as("text")),
+            "doc_id", "text")
+          StreamingIndexer.compact(s, root)
+          val idx = StreamingIndexer.loadMerged(s, root)
+          idx.cache()
+          idx.postings.count()
+          idx
+        })
+      }
+    }
+
+  def bm25AfterUpdate(s: SparkSession, dir: String): DataFrame =
+    asTopK(new Searcher(s, updatedIndex(s, dir))
+      .topK(Seq("graftupdated", "spark"), 10))
+
   /** Persisted-index roots for the SQL surface, one per scale dir —
     * match_query() reads a committed on-disk snapshot, so the index
     * is written once per JVM (same build-once/query-many shape as

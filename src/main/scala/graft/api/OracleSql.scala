@@ -45,6 +45,18 @@ corpus AS (
     "\nWITH live AS (SELECT * FROM documents WHERE doc_id % 7 <> 3),\n" +
       tokCtes("live")
 
+  /** Tokenization CTEs over the post-UPDATE corpus (mirrors
+    * EngineQueries.updatedIndex: docs ≡ 7 mod 10 replaced by fresh
+    * docIds old+100000 with the marker token appended, then physically
+    * compacted — stats/df reflect exactly this corpus). */
+  private val TOK_UPDATED =
+    "\nWITH updated AS (\n" +
+      "  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7\n" +
+      "  UNION ALL\n" +
+      "  SELECT doc_id + 100000 AS doc_id, text || ' graftupdated' AS text\n" +
+      "  FROM documents WHERE doc_id % 10 = 7),\n" +
+      tokCtes("updated")
+
   private def inList(terms: Seq[String]): String =
     terms.map(t => s"'$t'").mkString("(", ", ", ")")
 
@@ -211,6 +223,14 @@ ORDER BY s DESC, doc_id LIMIT 10"""),
     // stats rewritten, so df/N/avgdl — and the scores — are those of
     // the live corpus only
     "bm25_after_delete" -> (TOK_LIVE + bm25Scored(Seq("spark")) + """
+SELECT doc_id, round(s, 4) AS score FROM scored
+ORDER BY s DESC, doc_id LIMIT 10"""),
+
+    // updateDocument parity (replace + compact): scores over the
+    // post-update corpus — the marker term hits exactly the 50
+    // replacement docs, 'spark' ranks across old and new
+    "bm25_after_update" -> (TOK_UPDATED +
+      bm25Scored(Seq("graftupdated", "spark")) + """
 SELECT doc_id, round(s, 4) AS score FROM scored
 ORDER BY s DESC, doc_id LIMIT 10"""),
 

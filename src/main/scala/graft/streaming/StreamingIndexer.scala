@@ -170,6 +170,72 @@ object StreamingIndexer {
     d.intersect(po).toSeq.sorted
   }
 
+  /** Batch segment append (Lucene IndexWriter.addDocuments without a
+    * stream): index `docs` as ONE new segment at the next free batch
+    * id. Shard width + analyzer follow the root's persisted ingest
+    * config when one exists (fail-fast on mismatch — the same guard
+    * streaming ingestion runs); a fresh root adopts `cfg` and persists
+    * it. docIds (idCol) must be new to the index: a duplicate docId
+    * fails the next merge loudly (duplicate-docId invariant in
+    * mergeSegmentRows) instead of silently shadowing. The id is
+    * allocated past EVERY existing segment table (complete or half),
+    * so a crashed append never gets its id recycled with different
+    * data — the half segment stays invisible (completeBatches excludes
+    * it) until the orphan sweep reclaims it. Single-writer discipline
+    * per root, like delete/compaction sequence allocation. */
+  def append(
+      spark: SparkSession,
+      root: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      untokenized: Seq[String] = Nil,
+      cfg: IndexConfig = IndexConfig()): Long = {
+    val effCfg = readIngestConfig(root).map { case (shard, analyzerName) =>
+      cfg.copy(shardSizeDocs = shard,
+        analyzer = analyzerName.map(graft.analysis.TextAnalyzers.byName)
+          .getOrElse(cfg.analyzer))
+    }.getOrElse(cfg)
+    val used = segmentTables(root, "docs-b").map(_.stripPrefix("docs-b").toLong) ++
+      segmentTables(root, "postings-b").map(_.stripPrefix("postings-b").toLong)
+    // floor: never recycle a pruned/compacted id (a fully-pruned root
+    // has no segment tables but its compaction base still names the
+    // highest batch it merged — loadMerged would ignore a reused id)
+    val floor = math.max(prunedBelow(root).getOrElse(0L),
+      latestCompactionInfo(root).map(_.batch + 1).getOrElse(0L))
+    val batchId = math.max(used.maxOption.map(_ + 1L).getOrElse(0L), floor)
+    writeIngestConfig(root, effCfg)
+    val idx = IndexBuilder.fromText(spark, docs, idCol, textCol, untokenized, effCfg)
+    TableFormat.write(spark, idx.docs, root, s"docs-b$batchId",
+      snapshotId = batchId + 1)
+    TableFormat.write(spark, idx.postings, root, s"postings-b$batchId",
+      snapshotId = batchId + 1)
+    batchId
+  }
+
+  /** Lucene IndexWriter.updateDocument parity: replace documents in
+    * one logical operation — the replacements land as a fresh segment
+    * FIRST, then the old docIds tombstone. A crash between the two
+    * steps leaves BOTH versions visible (a document is never lost);
+    * re-issuing the delete of `oldIds` completes the update. Until the
+    * next compact() the replacement is tombstone-visible (hits exclude
+    * the old docs, stats stay stale — Lucene pre-merge semantics);
+    * compaction applies it physically. Replacement docIds must be
+    * FRESH (Lucene updateDocument also allocates new internal ids).
+    * Returns (segment batch id, delete sequence). */
+  def updateDocuments(
+      spark: SparkSession,
+      root: String,
+      oldIds: DataFrame,
+      replacements: DataFrame,
+      idCol: String,
+      textCol: String,
+      untokenized: Seq[String] = Nil): (Long, Long) = {
+    val b = append(spark, root, replacements, idCol, textCol, untokenized)
+    val d = delete(spark, root, oldIds)
+    (b, d)
+  }
+
   // ---- document deletion (tombstone tables under the index root) ----
 
   /** Record a delete batch: one committed `deletes-d<seq>` table of

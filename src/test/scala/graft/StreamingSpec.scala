@@ -380,4 +380,59 @@ class StreamingSpec extends AnyFunSuite {
     val ids = c3.docs.select("docId").collect().map(_.getLong(0)).toSet
     assert(!ids(3L) && !ids(10L) && ids(105L))
   }
+
+  test("batch append + updateDocuments: replace is tombstone-visible, compaction applies, crash window loses nothing") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_upd").toString
+    val cfg = IndexConfig(shardSizeDocs = 16)
+    val docs = (0L until 40L).map(mkDoc).toDF("doc_id", "text")
+    assert(StreamingIndexer.append(spark, root, docs, "doc_id", "text", cfg = cfg) === 0L)
+
+    // update: docs 5 and 17 replaced by 1005/1017 with a marker token
+    val old = Seq(5L, 17L).toDF("doc_id")
+    val repl = Seq((1005L, "zzmarker merge updated five"),
+      (1017L, "zzmarker spark updated seventeen")).toDF("doc_id", "text")
+    val (b, d) = StreamingIndexer.updateDocuments(
+      spark, root, old, repl, "doc_id", "text")
+    assert(b === 1L && d === 0L)
+
+    // tombstone-visible: old ids gone from hits, replacements found,
+    // stats stale (numDocs counts every segment row pre-compaction)
+    val merged = StreamingIndexer.loadMerged(spark, root)
+    val s1 = new Searcher(spark, merged)
+    val markerHits = s1.topK(Seq("zzmarker"), 10).collect().map(_.getLong(0)).toSet
+    assert(markerHits === Set(1005L, 1017L))
+    val sparkHits = s1.topK(Seq("spark"), 100).collect().map(_.getLong(0)).toSet
+    assert(!sparkHits(5L) && !sparkHits(17L) && sparkHits(1017L))
+    assert(merged.stats.numDocs === 42) // 40 + 2 replacements, deletes stale
+
+    // compaction applies physically: 40 live docs, old ids rewritten out
+    val c = StreamingIndexer.compact(spark, root, cfg)
+    assert(c.stats.numDocs === 40)
+    val cIds = c.docs.select("docId").collect().map(_.getLong(0)).toSet
+    assert(!cIds(5L) && !cIds(17L) && cIds(1005L) && cIds(1017L))
+
+    // crash window = segment committed, delete lost: both versions
+    // visible (nothing lost); re-issuing the delete completes the update
+    val root2 = Files.createTempDirectory("graft_upd2").toString
+    StreamingIndexer.append(spark, root2, docs, "doc_id", "text", cfg = cfg)
+    StreamingIndexer.append(spark, root2, repl, "doc_id", "text")
+    val both = new Searcher(spark, StreamingIndexer.loadMerged(spark, root2))
+      .topK(Seq("spark"), 100).collect().map(_.getLong(0)).toSet
+    assert(both(17L) && both(1017L))
+    StreamingIndexer.delete(spark, root2, old)
+    val fixed = new Searcher(spark, StreamingIndexer.loadMerged(spark, root2))
+      .topK(Seq("spark"), 100).collect().map(_.getLong(0)).toSet
+    assert(!fixed(17L) && fixed(1017L))
+
+    // append restores the persisted config (like loadMerged): a caller
+    // cfg with the wrong width is overridden, not written — the new
+    // segment shards with the ROOT's width and queries stay correct
+    StreamingIndexer.append(spark, root2,
+      Seq((2000L, "qqunique spark doc")).toDF("doc_id", "text"), "doc_id", "text",
+      cfg = IndexConfig(shardSizeDocs = 999))
+    val afterCfg = new Searcher(spark, StreamingIndexer.loadMerged(spark, root2))
+    assert(afterCfg.topK(Seq("qqunique"), 5).collect()
+      .map(_.getLong(0)).toSet === Set(2000L))
+  }
 }
