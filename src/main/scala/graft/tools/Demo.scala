@@ -119,6 +119,29 @@ object Demo {
           s"${applied.docs.where(col("docId") === d).count() == 0})")
       }
     }
+    // updateDocument lifecycle on a persisted segment root: replace the
+    // current top hit with new content under a fresh docId, compact,
+    // and search the marker — the old doc is gone, the new one ranks
+    locally {
+      import org.apache.spark.sql.functions.{col, lit}
+      import graft.streaming.StreamingIndexer
+      val root = java.nio.file.Files.createTempDirectory("graft_demo_upd").toString
+      StreamingIndexer.append(spark, root,
+        docs.select(col("doc_id").cast("long").as("doc_id"), col("text")),
+        "doc_id", "text", cfg = IndexConfig(shardSizeDocs = 1024))
+      s.topK(terms, 1).collect().headOption.map(_.getLong(0)).foreach { d =>
+        import spark.implicits._
+        StreamingIndexer.updateDocuments(spark, root,
+          Seq(d).toDF("doc_id"),
+          Seq((d + 1000000L, s"zzupdated ${terms.mkString(" ")}")).toDF("doc_id", "text"),
+          "doc_id", "text")
+        val c = StreamingIndexer.compact(spark, root)
+        show("upd/doc ", new Searcher(spark, c).topK(Seq("zzupdated"), 3))
+        println(s"[upd/stats] N=${c.stats.numDocs} old doc $d gone: " +
+          s"${c.docs.where(col("docId") === lit(d)).count() == 0}")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
     spark.stop()
   }
 }
