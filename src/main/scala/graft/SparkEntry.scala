@@ -42,6 +42,8 @@ object SparkEntry {
     "fuzzy_topk" -> ((s, d) => E.fuzzyTopK(s, d)),
     "tfidf_legacy" -> ((s, d) => E.tfidfLegacy(s, d)),
     "phrase_bm25" -> ((s, d) => E.phraseBm25(s, d)),
+    "phrase_slop" -> ((s, d) => E.phraseSlop(s, d)),
+    "bm25_minshould" -> ((s, d) => E.bm25MinShould(s, d)),
     "sort_topk" -> ((s, d) => E.sortTopK(s, d)),
     "sort_topk2" -> ((s, d) => E.sortTopK2(s, d)),
     "term_vector" -> ((s, d) => E.termVector(s, d, 3L)),

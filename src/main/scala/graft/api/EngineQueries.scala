@@ -102,6 +102,20 @@ object EngineQueries {
   def phraseBm25(s: SparkSession, dir: String): DataFrame =
     asTopK(searcher(s, dir).phraseTopK(Seq("hash", "join"), 10))
 
+  /** Sloppy phrase `"hash join"~2` (Lucene PhraseQuery.setSlop) THROUGH
+    * the query-string surface — the parser's `~N` suffix, the
+    * single-phrase fast path, and the pruned positional matcher's
+    * greedy in-order window all sit under this one oracle. */
+  def phraseSlop(s: SparkSession, dir: String): DataFrame =
+    asTopK(searcher(s, dir).search("\"hash join\"~2", 10))
+
+  /** Disjunctive WAND with minimumShouldMatch = 2 (Lucene BooleanQuery
+    * setMinimumNumberShouldMatch): docs matching at least 2 of the 3
+    * terms, scored over their matched terms only. */
+  def bm25MinShould(s: SparkSession, dir: String): DataFrame =
+    asTopK(searcher(s, dir).topKWand(Seq("spark", "merge", "window"), 10,
+      minShouldMatch = 2))
+
   def sortTopK(s: SparkSession, dir: String): DataFrame =
     searcher(s, dir).sortedTopK(Seq("spark"), "lang", ascending = true, 15)
       .select(col("docId").cast("long").as("doc_id"), col("lang"),

@@ -108,13 +108,10 @@ ORDER BY s DESC, doc_id LIMIT $k"""
 SELECT doc_id, round(s, 4) AS score FROM scored
 ORDER BY s DESC, doc_id LIMIT $k"""
 
-  /** BM25-scored phrase "hash join" (consecutive emitted positions) —
-    * shared by the Dataset phrase path and the SQL TVF phrase mode. */
-  private val phraseHashJoin: String = TOK + """
-, starts AS (
-  SELECT a.doc_id, a.pos FROM emitted a
-  JOIN emitted b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-  WHERE a.term = 'hash' AND b.term = 'join'),
+  /** Shared phrase-scoring tail: a `starts` CTE (doc_id, pos of each
+    * matching start) → tf per doc → df = matching docs → BM25 as one
+    * pseudo-term, top 10. */
+  private val phraseScoreTail: String = """,
 ptf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM starts GROUP BY 1),
 pdf AS (SELECT count(*)::DOUBLE AS df FROM ptf)
 SELECT p.doc_id,
@@ -124,6 +121,26 @@ FROM ptf p CROSS JOIN pdf f JOIN dl d USING (doc_id) CROSS JOIN corpus c
 ORDER BY ln(1.0 + (c.n - f.df + 0.5) / (f.df + 0.5))
          * p.tf / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl)) DESC, p.doc_id
 LIMIT 10"""
+
+  /** BM25-scored phrase "hash join" (consecutive emitted positions) —
+    * shared by the Dataset phrase path and the SQL TVF phrase mode. */
+  private val phraseHashJoin: String = TOK + """
+, starts AS (
+  SELECT a.doc_id, a.pos FROM emitted a
+  JOIN emitted b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'hash' AND b.term = 'join')""" + phraseScoreTail
+
+  /** Sloppy phrase "hash join"~2 — in-order window: a start position
+    * matches when SOME 'join' sits strictly after it within span
+    * (k−1)+slop = 3; counting starts with DISTINCT is equivalent to
+    * the engine's greedy minimal chain (a chain exists ⇔ the greedy
+    * one fits the window). */
+  private val phraseSlopJoin: String = TOK + """
+, starts AS (
+  SELECT DISTINCT a.doc_id, a.pos FROM emitted a
+  JOIN emitted b ON a.doc_id = b.doc_id
+    AND b.pos > a.pos AND b.pos <= a.pos + 3
+  WHERE a.term = 'hash' AND b.term = 'join')""" + phraseScoreTail
 
   val all: Map[String, String] = Map(
     "dict_terms" -> (TOK + """
@@ -267,6 +284,16 @@ FROM tf t CROSS JOIN idf i
 ORDER BY (sqrt(t.tf) * i.i * i.i) * (1.0 / sqrt(i.i * i.i)) DESC, t.doc_id LIMIT 10"""),
 
     "phrase_bm25" -> phraseHashJoin,
+
+    "phrase_slop" -> phraseSlopJoin,
+
+    // minimumShouldMatch = 2 over a 3-term OR: docs matching ≥ 2 terms,
+    // scored over their matched terms only (the mm filter never alters
+    // a surviving doc's score)
+    "bm25_minshould" -> (TOK + bm25Scored(Seq("spark", "merge", "window")) + """
+SELECT doc_id, round(s, 4) AS score FROM scored
+WHERE m >= 2
+ORDER BY s DESC, doc_id LIMIT 10"""),
 
     "sort_topk" -> (TOK + bm25Scored(Seq("spark")) + """
 SELECT s.doc_id, d.lang, round(s.s, 4) AS score

@@ -2,19 +2,28 @@ package graft.query
 
 import graft.analysis.TextAnalyzer
 
+/** One phrase clause: the emitted slot sequence of its quoted text
+  * (duplicates included — phrase tf needs them) plus the Lucene
+  * `"..."~N` slop. slop 0 = exact consecutive positions; slop > 0
+  * matches the slots IN ORDER at strictly increasing positions whose
+  * span exceeds the exact span by at most `slop` (an in-order window —
+  * see Searcher.phraseTopK for the contract vs Lucene's
+  * SloppyPhraseScorer, which additionally allows reordering). */
+final case class PhraseClause(slots: Seq[String], slop: Int = 0)
+
 /** A classic query string parsed into Lucene BooleanQuery occur
   * buckets. Terms are post-analysis (the index's own analyzer),
   * deduplicated per bucket; each phrase clause keeps the emitted slot
-  * order of its quoted text (duplicates included — phrase tf needs
-  * them) and lives in the bucket its occur flag selects.
+  * order of its quoted text and lives in the bucket its occur flag
+  * selects.
   */
 final case class ParsedQuery(
     must: Seq[String],
     should: Seq[String],
     mustNot: Seq[String],
-    mustPhrases: Seq[Seq[String]] = Nil,
-    shouldPhrases: Seq[Seq[String]] = Nil,
-    notPhrases: Seq[Seq[String]] = Nil) {
+    mustPhrases: Seq[PhraseClause] = Nil,
+    shouldPhrases: Seq[PhraseClause] = Nil,
+    notPhrases: Seq[PhraseClause] = Nil) {
   def isEmpty: Boolean =
     must.isEmpty && should.isEmpty && mustNot.isEmpty &&
       mustPhrases.isEmpty && shouldPhrases.isEmpty && notPhrases.isEmpty
@@ -22,7 +31,7 @@ final case class ParsedQuery(
   def hasScoring: Boolean =
     must.nonEmpty || should.nonEmpty || mustPhrases.nonEmpty || shouldPhrases.nonEmpty
   /** Scoring phrase clauses with their MUST flag, input order. */
-  def scoringPhrases: Seq[(Seq[String], Boolean)] =
+  def scoringPhrases: Seq[(PhraseClause, Boolean)] =
     mustPhrases.map(_ -> true) ++ shouldPhrases.map(_ -> false)
 }
 
@@ -44,6 +53,9 @@ final case class ParsedQuery(
   *     `+"..."` / `-"..."` — Lucene BooleanQuery with PhraseQuery
   *     clauses; mixed term+phrase queries dispatch to the clause-level
   *     boolean scorer, `Searcher.scoredDocsBoolean`)
+  *   - `"a b"~N`         → sloppy phrase (Lucene PhraseQuery.setSlop
+  *     via the parser's `~` phrase suffix); a malformed suffix (no
+  *     digits) is ignored, like Lucene's lenient float parse
   *
   * Divergences, documented:
   *   - a single clause that analyzes to several terms (e.g.
@@ -66,9 +78,9 @@ object QueryParser {
     * punctuation downstream anyway.
     */
   def parse(query: String, analyzer: TextAnalyzer): ParsedQuery = {
-    // (occur, text, isPhrase) in input order — occur is re-written by a
-    // following AND, so buckets form only after the full scan
-    val clauses = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Boolean)]
+    // (occur, text, isPhrase, slop) in input order — occur is re-written
+    // by a following AND, so buckets form only after the full scan
+    val clauses = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Boolean, Int)]
     var conjAnd = false // a pending AND applies to the NEXT clause
     var mod = -1 // pending +/-/NOT modifier for the next clause
     var i = 0
@@ -78,9 +90,20 @@ object QueryParser {
       if (c.isWhitespace) i += 1
       else if (c == '"') {
         val end = query.indexOf('"', i + 1)
-        val (text, next) =
+        val (text, afterQuote) =
           if (end < 0) (query.substring(i + 1), n) else (query.substring(i + 1, end), end + 1)
-        addClause(clauses, conjAnd, mod, text, isPhrase = true)
+        // optional `~N` slop suffix directly after the closing quote
+        var next = afterQuote
+        var slop = 0
+        if (next < n && query.charAt(next) == '~') {
+          var j = next + 1
+          while (j < n && query.charAt(j).isDigit) j += 1
+          if (j > next + 1) {
+            slop = query.substring(next + 1, j).toInt
+            next = j
+          } else next = j // bare '~': ignored (Lucene lenient parse)
+        }
+        addClause(clauses, conjAnd, mod, text, isPhrase = true, slop = slop)
         conjAnd = false; mod = -1
         i = next
       } else if ((c == '+' || c == '-' || c == '!') && i + 1 < n &&
@@ -106,10 +129,10 @@ object QueryParser {
     val must = Seq.newBuilder[String]
     val should = Seq.newBuilder[String]
     val not = Seq.newBuilder[String]
-    val mustP = Seq.newBuilder[Seq[String]]
-    val shouldP = Seq.newBuilder[Seq[String]]
-    val notP = Seq.newBuilder[Seq[String]]
-    clauses.foreach { case (occur, text, isPhrase) =>
+    val mustP = Seq.newBuilder[PhraseClause]
+    val shouldP = Seq.newBuilder[PhraseClause]
+    val notP = Seq.newBuilder[PhraseClause]
+    clauses.foreach { case (occur, text, isPhrase, slop) =>
       val slots = {
         val b = Seq.newBuilder[String]
         analyzer.foreachEmitted(text)((t, _) => b += t)
@@ -117,9 +140,9 @@ object QueryParser {
       }
       if (slots.nonEmpty) {
         if (isPhrase && slots.length > 1) occur match {
-          case MUST => mustP += slots
-          case NOT => notP += slots
-          case _ => shouldP += slots
+          case MUST => mustP += PhraseClause(slots, slop)
+          case NOT => notP += PhraseClause(slots, slop)
+          case _ => shouldP += PhraseClause(slots, slop)
         } else occur match { // 1-slot phrase degrades to its term clause
           case MUST => must ++= slots
           case NOT => not ++= slots
@@ -138,20 +161,21 @@ object QueryParser {
     * modifier already decided its occur.
     */
   private def addClause(
-      clauses: scala.collection.mutable.ArrayBuffer[(Int, String, Boolean)],
+      clauses: scala.collection.mutable.ArrayBuffer[(Int, String, Boolean, Int)],
       conjAnd: Boolean,
       mod: Int,
       text: String,
-      isPhrase: Boolean): Unit = {
+      isPhrase: Boolean,
+      slop: Int = 0): Unit = {
     if (conjAnd && clauses.nonEmpty) {
-      val (prevOccur, prevText, prevPhrase) = clauses.last
+      val (prevOccur, prevText, prevPhrase, prevSlop) = clauses.last
       if (prevOccur == SHOULD)
-        clauses(clauses.length - 1) = (MUST, prevText, prevPhrase)
+        clauses(clauses.length - 1) = (MUST, prevText, prevPhrase, prevSlop)
     }
     val occur =
       if (mod >= 0) mod
       else if (conjAnd) MUST
       else SHOULD
-    clauses += ((occur, text, isPhrase))
+    clauses += ((occur, text, isPhrase, slop))
   }
 }

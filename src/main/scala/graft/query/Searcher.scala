@@ -184,7 +184,8 @@ final class Searcher(
       scorer: Scorer = BM25(),
       requireAll: Boolean = false,
       mustNot: Seq[String] = Nil,
-      must: Seq[String] = Nil): DataFrame = {
+      must: Seq[String] = Nil,
+      minShouldMatch: Int = 0): DataFrame = {
     // `must` — Lucene BooleanQuery mixed MUST + SHOULD (ReqOptSumScorer):
     // a hit needs EVERY must term; the remaining (should) terms add
     // score when present. must terms score too, so they join the query
@@ -202,6 +203,13 @@ final class Searcher(
         scorer.contributionCol(col("tf").cast("double"), col("df"), col("dl"), stats))
 
     val mustArr = must.distinct.sorted
+    // Lucene setMinimumNumberShouldMatch: mm counts OPTIONAL clauses
+    // only; more required matches than SHOULD clauses exist → nothing
+    // matches (requireAll has zero SHOULD clauses).
+    val shouldCount =
+      if (requireAll) 0 else qTerms.count(t => !mustArr.contains(t))
+    if (minShouldMatch > shouldCount)
+      return Seq.empty[(Long, Double, Int)].toDF("docId", "score", "nMatched")
     val perDoc = m.groupBy("docId")
       .agg(sort_array(collect_list(struct(col("term"), col("tscore")))).as("cs"))
       .withColumn("nMatched", size(col("cs")))
@@ -212,10 +220,15 @@ final class Searcher(
       .withColumn("rawScore",
         aggregate(col("cs"), lit(0.0), (acc, x) => acc + x.getField("tscore")))
       .drop("cs")
-    val filtered =
+    val occurFiltered =
       if (requireAll) perDoc.where(col("nMatched") === qTerms.length)
       else if (mustArr.nonEmpty) perDoc.where(col("nMust") === mustArr.length)
       else perDoc
+    // matched SHOULD clauses = matched terms minus matched MUST terms
+    val filtered =
+      if (minShouldMatch <= 0) occurFiltered
+      else occurFiltered.where(
+        col("nMatched") - col("nMust") >= minShouldMatch)
     // doc-level factor (coord · queryNorm for the legacy scorer; 1 for BM25)
     // — locals only in the closure, Searcher itself is not serializable
     val (sc, qd, st) = (scorer, queryDfs, stats)
@@ -242,8 +255,9 @@ final class Searcher(
       scorer: Scorer = BM25(),
       requireAll: Boolean = false,
       mustNot: Seq[String] = Nil,
-      must: Seq[String] = Nil): DataFrame =
-    scoredDocs(terms, scorer, requireAll, mustNot, must)
+      must: Seq[String] = Nil,
+      minShouldMatch: Int = 0): DataFrame =
+    scoredDocs(terms, scorer, requireAll, mustNot, must, minShouldMatch)
       .orderBy(desc("score"), asc("docId"))
       .limit(k)
       .select("docId", "score")
@@ -272,7 +286,8 @@ final class Searcher(
       scorer: Scorer = BM25(),
       requireAll: Boolean = false,
       mustNot: Seq[String] = Nil,
-      must: Seq[String] = Nil): DataFrame = {
+      must: Seq[String] = Nil,
+      minShouldMatch: Int = 0): DataFrame = {
     // `must` — mixed MUST + SHOULD (Lucene ReqOptSumScorer): the Wand
     // kernel leapfrogs the must iterators and treats the rest as
     // score-only optionals. must == all terms degenerates to the AND
@@ -290,6 +305,12 @@ final class Searcher(
     if ((allMust && exTerms.exists(qTerms.contains)) ||
         mustArr.exists(exTerms.contains))
       return Seq.empty[(Long, Double)].toDF("docId", "score") // MUST ∧ MUST_NOT
+    // Lucene setMinimumNumberShouldMatch counts OPTIONAL clauses only;
+    // mm above the SHOULD-clause count matches nothing (allMust ⇒ 0).
+    val shouldCount = if (allMust) 0 else qTerms.size - mustArr.length
+    if (minShouldMatch > shouldCount)
+      return Seq.empty[(Long, Double)].toDF("docId", "score")
+    val mm = math.max(minShouldMatch, 0)
     val meta = collectMeta(qTerms ++ exTerms)
     val dfs = meta.dfs
     val queryDfs = qTerms.map(t => dfs.getOrElse(t, 0L).toDouble)
@@ -299,6 +320,7 @@ final class Searcher(
     val exSet = exTerms.toSet
     val allMustB = allMust
     val mustSet: Set[String] = if (mustArr.isEmpty) null else mustArr.toSet
+    val mmB = mm // closure-local: Searcher itself is not serializable
 
     // Only shards that actually hold postings for the query's REQUIRED
     // terms can produce hits — and in AND mode only shards holding
@@ -335,7 +357,7 @@ final class Searcher(
           Wand.topK(rows.map(mkIter).toSeq, d => dlMap.getOrElse(d, Double.NaN),
             scorerB, st, k, allMustB, nQueryTerms, queryDfs,
             excludeIters = exRows.map(mkIter).toSeq,
-            requiredTerms = mustSet).iterator
+            requiredTerms = mustSet, minShouldMatch = mmB).iterator
         }
     }
     perShard.toDF()
@@ -358,9 +380,20 @@ final class Searcher(
     * containing one common term shuffles only the matched docs, not
     * O(cf) position rows. Shards missing any query term are pruned
     * from BOTH cogroup sides via the single metadata collect.
-    * Rank/hash-identical to phraseTopKExhaustive (asserted in tests). */
-  def phraseTopK(terms: Seq[String], k: Int, scorer: Scorer = BM25()): DataFrame = {
-    val matched = phraseMatchRows(terms, scorer)
+    * Rank/hash-identical to phraseTopKExhaustive (asserted in tests).
+    *
+    * `slop` — Lucene PhraseQuery.setSlop via the `"..."~N` parser
+    * suffix, with IN-ORDER window semantics: a start position p₀
+    * matches when slots appear at strictly increasing positions whose
+    * span exceeds the exact span by ≤ slop (Wand.phraseMatches greedy
+    * chain). slop 0 ≡ exact consecutive. Divergence, documented:
+    * Lucene's SloppyPhraseScorer also permits REORDERED terms when the
+    * slop affords the moves, and weights tf by 1/(distance+1); this
+    * engine keeps matches ordered and counts them whole — the same
+    * simplification as the ordered SpanNearQuery form. */
+  def phraseTopK(terms: Seq[String], k: Int, scorer: Scorer = BM25(),
+      slop: Int = 0): DataFrame = {
+    val matched = phraseMatchRows(terms, scorer, slop)
     val phraseDf = matched.count().toDouble // docs containing the phrase
     matched
       .withColumn("score", scorer.contributionCol(
@@ -374,8 +407,10 @@ final class Searcher(
     * containing the exact slot sequence. Eagerly materialized
     * (localCheckpoint) so the cogroup runs ONCE for both the phrase-df
     * count and any downstream scoring plan. */
-  private def phraseMatchRows(terms: Seq[String], scorer: Scorer): DataFrame = {
+  private def phraseMatchRows(terms: Seq[String], scorer: Scorer,
+      slop: Int = 0): DataFrame = {
     require(terms.nonEmpty)
+    require(slop >= 0, "negative slop")
     val slots = terms
     val qTerms = terms.distinct.sorted
     val meta = collectMeta(qTerms)
@@ -387,6 +422,7 @@ final class Searcher(
     val dfs = meta.dfs
     val st = stats
     val scorerB = scorer
+    val slopB = slop
     val prows = pruneShards(postingRows(qTerms).toDF(), shards)
       .as[PostingRow].groupByKey(_.shard)
     val dls = pruneShards(dlWithShard, shards)
@@ -415,7 +451,7 @@ final class Searcher(
           // docs absent from the live dl side (tombstoned) are dropped
           // BEFORE the phrase-df count, so phrase idf reflects live
           // matches only
-          Wand.phraseMatches(slots, iterOf)
+          Wand.phraseMatches(slots, iterOf, slopB)
             .collect { case (d, tf) if dlMap.contains(d) => (d, tf, dlMap(d)) }
         }
     }.toDF("docId", "tf", "dl")
@@ -428,17 +464,40 @@ final class Searcher(
   /** Exhaustive phrase path (corpus-wide positional explode + equi-join
     * on (docId, start)) — retained as the cross-validation oracle for
     * the pruned path; do not use at scale. */
-  def phraseTopKExhaustive(terms: Seq[String], k: Int, scorer: Scorer = BM25()): DataFrame = {
-    require(terms.nonEmpty)
+  def phraseTopKExhaustive(terms: Seq[String], k: Int, scorer: Scorer = BM25(),
+      slop: Int = 0): DataFrame = {
+    require(terms.nonEmpty && slop >= 0)
     val m = matchesWithPositions(terms.distinct).toDF()
     // explode positions per term
     def posDf(t: String, i: Int): DataFrame =
       m.where(col("term") === t)
         .select(col("docId"), explode(col("positions")).as("p"))
         .select(col("docId"), (col("p") - lit(i)).as("start"))
-    val starts = terms.zipWithIndex
-      .map { case (t, i) => posDf(t, i) }
-      .reduce((a, b) => a.join(b, Seq("docId", "start")))
+    val starts =
+      if (slop == 0)
+        terms.zipWithIndex
+          .map { case (t, i) => posDf(t, i) }
+          .reduce((a, b) => a.join(b, Seq("docId", "start")))
+      else {
+        // sloppy: the same greedy minimal chain as Wand.phraseMatches,
+        // as a relational fold — each step joins slot j's positions
+        // strictly above prev and keeps min(p) per (docId, start), so
+        // the fold carries the minimal chain end; the window filter at
+        // the end is then exact ("some chain fits" ⇔ "greedy fits").
+        def posRaw(t: String): DataFrame =
+          m.where(col("term") === t)
+            .select(col("docId"), explode(col("positions")).as("p"))
+        val init = posRaw(terms.head)
+          .select(col("docId"), col("p").as("start"), col("p").as("prev"))
+        val chained = terms.drop(1).foldLeft(init) { (acc, t) =>
+          acc.join(posRaw(t), Seq("docId"))
+            .where(col("p") > col("prev"))
+            .groupBy("docId", "start").agg(min(col("p")).as("prev"))
+        }
+        chained
+          .where(col("prev") - col("start") <= lit(terms.length - 1 + slop))
+          .select("docId", "start")
+      }
     // localCheckpoint (eager): the positions join runs ONCE, its result
     // is materialized for both the df count and the scoring plan, and —
     // unlike cache() — it is NOT pinned in the session CacheManager, so
@@ -574,7 +633,7 @@ final class Searcher(
       // fast path: exactly one scoring phrase and nothing else
       if (phrases.length == 1 && pq.must.isEmpty && pq.should.isEmpty &&
           pq.mustNot.isEmpty && pq.notPhrases.isEmpty)
-        phraseTopK(phrases.head._1, k, scorer)
+        phraseTopK(phrases.head._1.slots, k, scorer, phrases.head._1.slop)
       else scoredDocsBoolean(pq, scorer)
         .orderBy(desc("score"), asc("docId")).limit(k)
         .select("docId", "score")
@@ -624,8 +683,8 @@ final class Searcher(
     // phrase clause rows: one pruned positional match set per clause;
     // df = live docs containing the phrase (same contract as phraseTopK)
     val phraseRows: Seq[(DataFrame, Double)] = phrases.zipWithIndex.map {
-      case ((slots, isMust), i) =>
-        val m = phraseMatchRows(slots, sc)
+      case ((pc, isMust), i) =>
+        val m = phraseMatchRows(pc.slots, sc, pc.slop)
         val pdf = m.count().toDouble
         (m.select(
           lit(s"p:$i").as("clause"),
@@ -661,7 +720,7 @@ final class Searcher(
     val notDfs =
       (if (pq.mustNot.nonEmpty)
         Seq(matches(pq.mustNot.distinct).toDF().select("docId")) else Nil) ++
-        pq.notPhrases.map(p => phraseMatchRows(p, sc).select("docId"))
+        pq.notPhrases.map(p => phraseMatchRows(p.slots, sc, p.slop).select("docId"))
     if (notDfs.isEmpty) scored
     else scored.join(notDfs.reduce(_ union _).distinct(), Seq("docId"), "left_anti")
   }

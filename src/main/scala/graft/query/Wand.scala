@@ -144,7 +144,15 @@ object Wand {
     *   Iterators advance forward-only; correctness relies on WAND
     *   evaluating candidates in non-decreasing docId order (the
     *   candidate is always the current global-min docId and iterators
-    *   never move backwards). */
+    *   never move backwards).
+    * @param minShouldMatch Lucene BooleanQuery
+    *   setMinimumNumberShouldMatch: a candidate must match at least
+    *   this many OPTIONAL (SHOULD) terms — all terms in pure-OR mode,
+    *   the non-required terms in mixed mode. A pure filter at scoring
+    *   time: θ-pruning stays sound because the filter only removes
+    *   hits (θ is never raised by an unqualified doc). Ignored in
+    *   requireAll mode (no SHOULD clauses exist — callers map
+    *   mm > #should to an empty result per the Lucene contract). */
   def topK(
       itersIn: Seq[TermIterator],
       dlOf: Long => Double,
@@ -156,7 +164,8 @@ object Wand {
       queryDfsIn: Seq[Double] = null,
       initialThreshold: Double = Double.NegativeInfinity,
       excludeIters: Seq[TermIterator] = Nil,
-      requiredTerms: Set[String] = null): Seq[ScoredDoc] = {
+      requiredTerms: Set[String] = null,
+      minShouldMatch: Int = 0): Seq[ScoredDoc] = {
 
     val excl = excludeIters.toArray
     def isExcluded(d: Long): Boolean = {
@@ -319,8 +328,12 @@ object Wand {
                 }
                 t += 1
               }
-              score *= scorer.docFactor(m, queryDfs, stats)
-              offer(maxDoc, score)
+              // matched optionals = matched terms minus the (always
+              // fully matched) required set
+              if (m - reqSet.size >= minShouldMatch) {
+                score *= scorer.docFactor(m, queryDfs, stats)
+                offer(maxDoc, score)
+              }
             }
           }
           i = 0
@@ -382,8 +395,10 @@ object Wand {
                 }
                 t += 1
               }
-              score *= scorer.docFactor(m, queryDfs, stats)
-              offer(pivotDoc, score)
+              if (m >= minShouldMatch) { // pure-OR: every term is a SHOULD
+                score *= scorer.docFactor(m, queryDfs, stats)
+                offer(pivotDoc, score)
+              }
             }
           }
           j = 0
@@ -414,16 +429,28 @@ object Wand {
     * positional explode.
     *
     * @param slots the phrase's term sequence IN ORDER (duplicates
-    *   allowed: "a b a"); slot j requires its term at position start+j.
+    *   allowed: "a b a"); slot j requires its term at position start+j
+    *   (exact mode) or at strictly increasing positions within the
+    *   slop window (sloppy mode).
     * @param iterOf distinct term → its iterator (all terms must be
     *   present — callers prune shards missing any term).
-    * @return (docId, phrase tf = number of start positions), docId
-    *   ascending. Identical contract to the exhaustive explode-join
-    *   (positions strictly increasing per doc, so start counts match).
+    * @param slop Lucene `"..."~N`: a start position p₀ of slot 0
+    *   matches when an IN-ORDER chain p₀ < p₁ < … < p_{k−1} exists
+    *   (slot j's term at p_j) with span p_{k−1} − p₀ ≤ (k−1) + slop.
+    *   slop 0 forces every gap to exactly 1 — identical to exact mode
+    *   (asserted in tests). Verified per start by a GREEDY minimal
+    *   chain (each slot takes its smallest position > prev, by binary
+    *   search): the greedy chain minimizes the final position, so
+    *   "some chain fits the window" ⇔ "the greedy chain does".
+    * @return (docId, phrase tf = number of matching start positions),
+    *   docId ascending. Identical contract to the exhaustive
+    *   explode-join (positions strictly increasing per doc, so start
+    *   counts match).
     */
   def phraseMatches(
       slots: Seq[String],
-      iterOf: Map[String, TermIterator]): Iterator[(Long, Int)] = {
+      iterOf: Map[String, TermIterator],
+      slop: Int = 0): Iterator[(Long, Int)] = {
     val its: Array[TermIterator] = slots.distinct.map(iterOf).toArray
     val slotIters: Array[TermIterator] = slots.map(iterOf).toArray
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
@@ -440,34 +467,66 @@ object Wand {
       }
       if (maxDoc == Long.MaxValue) done = true // some term exhausted
       else if (minDoc == maxDoc) {
-        // all terms contain maxDoc — verify consecutive positions:
-        // starts = ∩_j (positions(slot_j) − j), arrays sorted strictly
-        // increasing, intersected pairwise
-        var starts: Array[Int] = null
-        var nStarts = -1
-        var j = 0
-        while (j < slotIters.length && nStarts != 0) {
-          val pj = slotIters(j).curPositions
-          if (starts == null) {
-            starts = new Array[Int](pj.length)
-            var p = 0
-            while (p < pj.length) { starts(p) = pj(p) - j; p += 1 }
-            nStarts = pj.length
-          } else {
-            // in-place sorted intersection of starts[0,nStarts) with pj−j
-            var a = 0; var b = 0; var w = 0
-            while (a < nStarts && b < pj.length) {
-              val sv = starts(a)
-              val pv = pj(b) - j
-              if (sv == pv) { starts(w) = sv; w += 1; a += 1; b += 1 }
-              else if (sv < pv) a += 1
-              else b += 1
+        if (slop == 0) {
+          // all terms contain maxDoc — verify consecutive positions:
+          // starts = ∩_j (positions(slot_j) − j), arrays sorted strictly
+          // increasing, intersected pairwise
+          var starts: Array[Int] = null
+          var nStarts = -1
+          var j = 0
+          while (j < slotIters.length && nStarts != 0) {
+            val pj = slotIters(j).curPositions
+            if (starts == null) {
+              starts = new Array[Int](pj.length)
+              var p = 0
+              while (p < pj.length) { starts(p) = pj(p) - j; p += 1 }
+              nStarts = pj.length
+            } else {
+              // in-place sorted intersection of starts[0,nStarts) with pj−j
+              var a = 0; var b = 0; var w = 0
+              while (a < nStarts && b < pj.length) {
+                val sv = starts(a)
+                val pv = pj(b) - j
+                if (sv == pv) { starts(w) = sv; w += 1; a += 1; b += 1 }
+                else if (sv < pv) a += 1
+                else b += 1
+              }
+              nStarts = w
             }
-            nStarts = w
+            j += 1
           }
-          j += 1
+          if (nStarts > 0) out += ((maxDoc, nStarts))
+        } else {
+          // sloppy: greedy minimal chain per start of slot 0. The chain
+          // end is non-decreasing in the start position, so once a slot
+          // runs out of positions above prev, every later start fails
+          // too (the `exhaustedChain` break).
+          val posArr: Array[Array[Int]] = slotIters.map(_.curPositions)
+          val p0s = posArr(0)
+          val bound = slots.length - 1 + slop
+          var tf = 0
+          var a = 0
+          var exhaustedChain = false
+          while (a < p0s.length && !exhaustedChain) {
+            var prev = p0s(a)
+            var j = 1
+            while (j < posArr.length && !exhaustedChain) {
+              val pj = posArr(j)
+              // smallest element strictly greater than prev
+              var lo = 0; var hi = pj.length
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                if (pj(mid) <= prev) lo = mid + 1 else hi = mid
+              }
+              if (lo == pj.length) exhaustedChain = true
+              else prev = pj(lo)
+              j += 1
+            }
+            if (!exhaustedChain && prev - p0s(a) <= bound) tf += 1
+            a += 1
+          }
+          if (tf > 0) out += ((maxDoc, tf))
         }
-        if (nStarts > 0) out += ((maxDoc, nStarts))
         i = 0
         while (i < its.length) { its(i).next(); i += 1 }
       } else {

@@ -73,6 +73,9 @@ object Demo {
     show("reqopt  ", s.topKWand(terms, 5, BM25(), must = terms.take(1)))
     // phrase clause inside a boolean query (clause-level scorer)
     show("boolphr ", s.search(s"""+"${terms.take(2).mkString(" ")}" ${terms.head}""", 5))
+    // sloppy phrase ("..."~N) and minimumShouldMatch
+    show("slop    ", s.search(s""""${terms.take(2).mkString(" ")}"~2""", 5))
+    show("minshld ", s.topKWand(terms :+ "window", 5, minShouldMatch = 2))
     // SQL surface: native analyzer expressions
     graft.sql.GraftFunctions.register(spark)
     show("sql     ", spark.sql(

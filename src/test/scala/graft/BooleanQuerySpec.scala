@@ -166,7 +166,7 @@ class BooleanQuerySpec extends AnyFunSuite {
   }
 
   test("phrase clauses inside boolean queries: MUST bounds, additive scores, NOT drops") {
-    import graft.query.ParsedQuery
+    import graft.query.{ParsedQuery, PhraseClause}
     val docs = Seq(
       (0L, "alpha kappa zeta"), // phrase + zeta
       (1L, "alpha kappa"), // phrase only
@@ -186,7 +186,7 @@ class BooleanQuerySpec extends AnyFunSuite {
       // MUST phrase + SHOULD term: hit set = phrase matches; score =
       // phrase contribution + zeta contribution where present
       val mixed = topMap(s.scoredDocsBoolean(
-        ParsedQuery(Nil, Seq("zeta"), Nil, Seq(Seq("alpha", "kappa"))))
+        ParsedQuery(Nil, Seq("zeta"), Nil, Seq(PhraseClause(Seq("alpha", "kappa")))))
         .select("docId", "score"))
       assert(mixed.keySet === phraseOnly.keySet, s"shard=$shardSize")
       mixed.foreach { case (d, sc) =>

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.analysis.Analyzer
-import graft.query.{ParsedQuery, QueryParser}
+import graft.query.{ParsedQuery, PhraseClause, QueryParser}
 
 /** Classic query-string grammar (the reference's QueryParser surface,
   * TestHBaseneSearch.java): occur bucketing for +/-/!/NOT modifiers,
@@ -43,24 +43,24 @@ class QueryParserSpec extends AnyFunSuite {
 
   test("quoted phrase keeps analyzer slot order; 1-slot phrase degrades to a term clause") {
     assert(p("\"hash join probe\"") ===
-      ParsedQuery(Nil, Nil, Nil, Nil, Seq(Seq("hash", "join", "probe")), Nil))
+      ParsedQuery(Nil, Nil, Nil, Nil, Seq(PhraseClause(Seq("hash", "join", "probe"))), Nil))
     assert(p("\"Spark!\"") === ParsedQuery(Nil, Seq("spark"), Nil))
   }
 
   test("phrase clauses carry their occur flag inside boolean queries") {
     val pq = p("+\"hash join\" spark -window -\"sort merge\"")
-    assert(pq.mustPhrases === Seq(Seq("hash", "join")))
+    assert(pq.mustPhrases === Seq(PhraseClause(Seq("hash", "join"))))
     assert(pq.should === Seq("spark"))
     assert(pq.mustNot === Seq("window"))
-    assert(pq.notPhrases === Seq(Seq("sort", "merge")))
+    assert(pq.notPhrases === Seq(PhraseClause(Seq("sort", "merge"))))
     // AND upgrades a preceding SHOULD phrase like any clause
     val pq2 = p("\"hash join\" AND spark")
-    assert(pq2.mustPhrases === Seq(Seq("hash", "join")))
+    assert(pq2.mustPhrases === Seq(PhraseClause(Seq("hash", "join"))))
     assert(pq2.must === Seq("spark"))
     assert(pq2.shouldPhrases.isEmpty)
     // several phrases in one query
     val pq3 = p("\"hash join\" \"sort merge\"")
-    assert(pq3.shouldPhrases === Seq(Seq("hash", "join"), Seq("sort", "merge")))
+    assert(pq3.shouldPhrases === Seq(PhraseClause(Seq("hash", "join")), PhraseClause(Seq("sort", "merge"))))
   }
 
   test("clause text runs through the index analyzer (case, punctuation, splits)") {
@@ -79,7 +79,7 @@ class QueryParserSpec extends AnyFunSuite {
       ParsedQuery(Seq("alpha"), Seq("alpha"), Nil)) // per-bucket dedup
     // unterminated quote: rest of string is the phrase
     assert(p("\"hash join") ===
-      ParsedQuery(Nil, Nil, Nil, Nil, Seq(Seq("hash", "join")), Nil))
+      ParsedQuery(Nil, Nil, Nil, Nil, Seq(PhraseClause(Seq("hash", "join"))), Nil))
     // only prohibited clauses → no scoring clause
     assert(!p("-alpha -\"hash join\"").hasScoring)
   }
