@@ -43,6 +43,8 @@ object SparkEntry {
     "tfidf_legacy" -> ((s, d) => E.tfidfLegacy(s, d)),
     "phrase_bm25" -> ((s, d) => E.phraseBm25(s, d)),
     "phrase_slop" -> ((s, d) => E.phraseSlop(s, d)),
+    "multi_phrase" -> ((s, d) => E.multiPhrase(s, d)),
+    "phrase_prefix" -> ((s, d) => E.phrasePrefix(s, d)),
     "bm25_minshould" -> ((s, d) => E.bm25MinShould(s, d)),
     "sort_topk" -> ((s, d) => E.sortTopK(s, d)),
     "sort_topk2" -> ((s, d) => E.sortTopK2(s, d)),

@@ -109,6 +109,19 @@ object EngineQueries {
   def phraseSlop(s: SparkSession, dir: String): DataFrame =
     asTopK(searcher(s, dir).search("\"hash join\"~2", 10))
 
+  /** Multi-phrase `hash (join|scan)` (Lucene MultiPhraseQuery): slot 2
+    * matches either alternative; tf sums the variants' starts; scored
+    * as one pseudo-term over the matching docs. */
+  def multiPhrase(s: SparkSession, dir: String): DataFrame =
+    asTopK(searcher(s, dir).multiPhraseTopK(
+      Seq(Seq("hash"), Seq("join", "scan")), 10))
+
+  /** Phrase-prefix `"hash s*"` (Lucene MultiPhrasePrefixQuery / ES
+    * match_phrase_prefix): the final slot expands the dictionary
+    * prefix into its matching terms, then runs as one multi-phrase. */
+  def phrasePrefix(s: SparkSession, dir: String): DataFrame =
+    asTopK(searcher(s, dir).phrasePrefixTopK(Seq("hash"), "s", 10))
+
   /** Disjunctive WAND with minimumShouldMatch = 2 (Lucene BooleanQuery
     * setMinimumNumberShouldMatch): docs matching at least 2 of the 3
     * terms, scored over their matched terms only. */

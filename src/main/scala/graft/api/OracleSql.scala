@@ -287,6 +287,22 @@ ORDER BY (sqrt(t.tf) * i.i * i.i) * (1.0 / sqrt(i.i * i.i)) DESC, t.doc_id LIMIT
 
     "phrase_slop" -> phraseSlopJoin,
 
+    // multi-phrase "hash (join|scan)": slot 2 matches either term; a
+    // start counts once (two alternatives can't share one position)
+    "multi_phrase" -> (TOK + """
+, starts AS (
+  SELECT a.doc_id, a.pos FROM emitted a
+  JOIN emitted b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'hash' AND b.term IN ('join', 'scan'))""" + phraseScoreTail),
+
+    // phrase-prefix "hash s*": the final slot is the whole s-prefixed
+    // dictionary range (ES match_phrase_prefix semantics)
+    "phrase_prefix" -> (TOK + """
+, starts AS (
+  SELECT DISTINCT a.doc_id, a.pos FROM emitted a
+  JOIN emitted b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'hash' AND b.term LIKE 's%')""" + phraseScoreTail),
+
     // minimumShouldMatch = 2 over a 3-term OR: docs matching ≥ 2 terms,
     // scored over their matched terms only (the mm filter never alters
     // a surviving doc's score)

@@ -74,6 +74,15 @@ final class Searcher(
         case (s, rs) if need.subsetOf(rs.iterator.map(_._1).toSet) => s
       }.toArray.sorted
     }
+    /** Shards holding ≥1 alternative of EVERY slot group (multi-phrase
+      * pruning: a shard missing a whole slot can't produce a hit). */
+    def shardsWithGroups(groups: Seq[Seq[String]]): Array[Long] =
+      rows.groupBy(_._2).collect {
+        case (s, rs) if {
+          val present = rs.iterator.map(_._1).toSet
+          groups.forall(_.exists(present))
+        } => s
+      }.toArray.sorted
   }
 
   private def collectMeta(terms: Seq[String]): QueryMeta =
@@ -392,12 +401,131 @@ final class Searcher(
     * engine keeps matches ordered and counts them whole — the same
     * simplification as the ordered SpanNearQuery form. */
   def phraseTopK(terms: Seq[String], k: Int, scorer: Scorer = BM25(),
-      slop: Int = 0): DataFrame = {
-    val matched = phraseMatchRows(terms, scorer, slop)
+      slop: Int = 0): DataFrame =
+    scorePhraseMatched(phraseMatchRows(terms, scorer, slop), scorer, k)
+
+  /** Score eagerly-materialized phrase match rows (docId, tf, dl) as
+    * ONE pseudo-term whose df = number of matching live docs. */
+  private def scorePhraseMatched(
+      matched: DataFrame, scorer: Scorer, k: Int): DataFrame = {
     val phraseDf = matched.count().toDouble // docs containing the phrase
     matched
       .withColumn("score", scorer.contributionCol(
         col("tf").cast("double"), lit(phraseDf), col("dl"), stats))
+      .orderBy(desc("score"), asc("docId")).limit(k)
+      .select("docId", "score")
+  }
+
+  /** Multi-phrase top-k (Lucene MultiPhraseQuery): slot j matches where
+    * ANY of `slotAlts(j)` occurs — "hash (join|probe)" finds both
+    * "hash join" and "hash probe", tf summing the variants' starts.
+    * Lucene builds these from analyzers emitting stacked tokens and
+    * from prefix-in-phrase expansion; here the alternatives are given
+    * explicitly (pair with `expandTerms`-style dictionary scans for a
+    * prefix slot). Same pruned per-shard leapfrog as `phraseTopK`
+    * (slot cursor = min over alternatives), same one-pseudo-term
+    * scoring, same `slop` window semantics; shards lacking every
+    * alternative of some slot are pruned via the single metadata
+    * collect. Singleton slots ≡ phraseTopK (asserted in tests). */
+  def multiPhraseTopK(slotAlts: Seq[Seq[String]], k: Int,
+      scorer: Scorer = BM25(), slop: Int = 0): DataFrame =
+    scorePhraseMatched(multiPhraseMatchRows(slotAlts, scorer, slop), scorer, k)
+
+  private def multiPhraseMatchRows(slotAlts: Seq[Seq[String]],
+      scorer: Scorer, slop: Int): DataFrame = {
+    require(slotAlts.nonEmpty && slotAlts.forall(_.nonEmpty),
+      "every slot needs at least one alternative term")
+    require(slop >= 0, "negative slop")
+    val groups = slotAlts.map(_.distinct)
+    val qTerms = groups.flatten.distinct.sorted
+    val meta = collectMeta(qTerms)
+    val shards =
+      if (groups.exists(g => !g.exists(meta.dfs.contains))) Array.empty[Long]
+      else meta.shardsWithGroups(groups)
+    if (shards.isEmpty)
+      return Seq.empty[(Long, Int, Double)].toDF("docId", "tf", "dl")
+    val dfs = meta.dfs
+    val st = stats
+    val scorerB = scorer
+    val slopB = slop
+    val groupsB = groups
+    val prows = pruneShards(postingRows(qTerms).toDF(), shards)
+      .as[PostingRow].groupByKey(_.shard)
+    val dls = pruneShards(dlWithShard, shards)
+      .select(col("docId"), col("dl"), col("shard"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._3)
+    prows.cogroup(dls) {
+      (_: Long, ps: Iterator[PostingRow], ds: Iterator[(Long, Double, Long)]) =>
+        val rows = ps.toArray
+        require(rows.iterator.map(_.term).toSet.size == rows.length,
+          "duplicate posting rows for one (term, shard) — phrase search " +
+            "requires merged postings (one row per term per shard)")
+        val iterOf = rows.map { r =>
+          r.term -> new TermIterator(r.term, dfs(r.term).toDouble, 0.0,
+            scorerB, st, new PostingsCodec.BlobView(r.blob))
+        }.toMap
+        val dlMap = new scala.collection.mutable.LongMap[Double]()
+        ds.foreach { case (d, dl, _) => dlMap.update(d, dl) }
+        Wand.multiPhraseMatches(groupsB, iterOf, slopB)
+          .collect { case (d, tf) if dlMap.contains(d) => (d, tf, dlMap(d)) }
+    }.toDF("docId", "tf", "dl")
+      .localCheckpoint() // one cogroup for both the df count and scoring
+  }
+
+  /** Phrase-prefix query (Lucene MultiPhrasePrefixQuery — the engine
+    * behind Elasticsearch's match_phrase_prefix): exact leading slots,
+    * final slot = every dictionary term starting with `prefix`
+    * (TooManyClauses-bounded A6 range scan, like `prefixTopK`), run as
+    * one multi-phrase. An empty expansion matches nothing. */
+  def phrasePrefixTopK(terms: Seq[String], prefix: String, k: Int,
+      scorer: Scorer = BM25(), slop: Int = 0,
+      maxExpansions: Int = 128): DataFrame = {
+    require(prefix.nonEmpty, "empty phrase-prefix")
+    val ts = expandTerms(col("term").startsWith(prefix),
+      s"phrase-prefix '$prefix'", maxExpansions)
+    if (ts.isEmpty) emptyHits
+    else multiPhraseTopK(terms.map(Seq(_)) :+ ts, k, scorer, slop)
+  }
+
+  /** Exhaustive multi-phrase cross-validation oracle: per slot, the
+    * union of its alternatives' exploded positions (distinct — a start
+    * must count once however many alternatives could continue it),
+    * then the same equi-join (exact) / greedy min-fold (sloppy) as
+    * `phraseTopKExhaustive`. Do not use at scale. */
+  def multiPhraseTopKExhaustive(slotAlts: Seq[Seq[String]], k: Int,
+      scorer: Scorer = BM25(), slop: Int = 0): DataFrame = {
+    require(slotAlts.nonEmpty && slotAlts.forall(_.nonEmpty) && slop >= 0)
+    val groups = slotAlts.map(_.distinct)
+    val m = matchesWithPositions(groups.flatten.distinct).toDF()
+    def slotPos(g: Seq[String]): DataFrame =
+      m.where(col("term").isin(g: _*))
+        .select(col("docId"), explode(col("positions")).as("p"))
+        .distinct()
+    val starts =
+      if (slop == 0)
+        groups.zipWithIndex.map { case (g, i) =>
+          slotPos(g).select(col("docId"), (col("p") - lit(i)).as("start"))
+        }.reduce((a, b) => a.join(b, Seq("docId", "start")))
+      else {
+        val init = slotPos(groups.head)
+          .select(col("docId"), col("p").as("start"), col("p").as("prev"))
+        val chained = groups.drop(1).foldLeft(init) { (acc, g) =>
+          acc.join(slotPos(g), Seq("docId"))
+            .where(col("p") > col("prev"))
+            .groupBy("docId", "start").agg(min(col("p")).as("prev"))
+        }
+        chained
+          .where(col("prev") - col("start") <= lit(groups.length - 1 + slop))
+          .select("docId", "start")
+      }
+    val phraseTf = starts.groupBy("docId").agg(count(lit(1)).as("tf"))
+      .join(dlLookup(collectMeta(groups.flatten.distinct)), Seq("docId"))
+      .localCheckpoint()
+    val df = phraseTf.count().toDouble
+    phraseTf
+      .withColumn("score", scorer.contributionCol(
+        col("tf").cast("double"), lit(df), col("dl"), stats))
       .orderBy(desc("score"), asc("docId")).limit(k)
       .select("docId", "score")
   }

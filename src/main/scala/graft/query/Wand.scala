@@ -420,6 +420,145 @@ object Wand {
     drain()
   }
 
+  /** Pruned MULTI-phrase matching over one shard (Lucene
+    * MultiPhraseQuery: each slot holds one or more alternative terms;
+    * a slot matches where ANY of its alternatives occurs). Doc-level:
+    * a leapfrog where slot j's virtual cursor is min over its
+    * alternatives' curDoc — the candidate is the smallest doc every
+    * slot can reach (OR within a slot, AND across slots). Positions of
+    * a slot at the candidate = ascending merge of its matching
+    * alternatives' position lists, then the same exact-intersection /
+    * greedy-chain verification as `phraseMatches`.
+    *
+    * @param slotAlts per-slot alternative terms, in phrase order;
+    *   alternatives absent from this shard's iterator map are dropped
+    *   (a slot with NO present alternative matches nothing here —
+    *   callers prune such shards).
+    * @return (docId, tf = matching start positions), docId ascending.
+    */
+  def multiPhraseMatches(
+      slotAlts: Seq[Seq[String]],
+      iterOf: Map[String, TermIterator],
+      slop: Int = 0): Iterator[(Long, Int)] = {
+    val slotIts: Array[Array[TermIterator]] =
+      slotAlts.map(_.distinct.flatMap(iterOf.get).toArray).toArray
+    if (slotIts.exists(_.isEmpty)) return Iterator.empty
+    val k = slotIts.length
+    val bound = k - 1 + slop
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    var candidate = 0L
+    var done = false
+    while (!done) {
+      // find the smallest doc ≥ candidate present in EVERY slot
+      var j = 0
+      var moved = false
+      while (j < k && !moved) {
+        val alts = slotIts(j)
+        var slotMin = Long.MaxValue
+        var a = 0
+        while (a < alts.length) {
+          if (alts(a).curDoc < candidate) alts(a).advanceTo(candidate)
+          if (alts(a).curDoc < slotMin) slotMin = alts(a).curDoc
+          a += 1
+        }
+        if (slotMin > candidate) { candidate = slotMin; moved = true }
+        else j += 1
+      }
+      if (candidate == Long.MaxValue) done = true
+      else if (!moved) {
+        // every slot has ≥1 alternative at `candidate` — merge each
+        // slot's matching alternatives' positions (ascending)
+        val posPerSlot = new Array[Array[Int]](k)
+        var s = 0
+        while (s < k) {
+          val lists = slotIts(s).iterator
+            .filter(it => !it.exhausted && it.curDoc == candidate)
+            .map(_.curPositions).toArray
+          posPerSlot(s) =
+            if (lists.length == 1) lists(0)
+            else {
+              val merged = new Array[Int](lists.map(_.length).sum)
+              val idx = new Array[Int](lists.length)
+              var w = 0
+              while (w < merged.length) {
+                var best = -1; var bv = Int.MaxValue
+                var l = 0
+                while (l < lists.length) {
+                  if (idx(l) < lists(l).length && lists(l)(idx(l)) < bv) {
+                    bv = lists(l)(idx(l)); best = l
+                  }
+                  l += 1
+                }
+                merged(w) = bv; idx(best) += 1; w += 1
+              }
+              merged
+            }
+          s += 1
+        }
+        val tf = countStarts(posPerSlot, bound, slop)
+        if (tf > 0) out += ((candidate, tf))
+        candidate += 1
+      }
+    }
+    out.iterator
+  }
+
+  /** Start-position count shared by the exact and sloppy verifiers:
+    * posPerSlot(j) = ascending positions where slot j matches. */
+  private def countStarts(
+      posPerSlot: Array[Array[Int]], bound: Int, slop: Int): Int =
+    if (slop == 0) {
+      // starts = ∩_j (posPerSlot(j) − j), pairwise sorted intersection
+      var starts: Array[Int] = null
+      var nStarts = -1
+      var j = 0
+      while (j < posPerSlot.length && nStarts != 0) {
+        val pj = posPerSlot(j)
+        if (starts == null) {
+          starts = new Array[Int](pj.length)
+          var p = 0
+          while (p < pj.length) { starts(p) = pj(p) - j; p += 1 }
+          nStarts = pj.length
+        } else {
+          var a = 0; var b = 0; var w = 0
+          while (a < nStarts && b < pj.length) {
+            val sv = starts(a)
+            val pv = pj(b) - j
+            if (sv == pv) { starts(w) = sv; w += 1; a += 1; b += 1 }
+            else if (sv < pv) a += 1
+            else b += 1
+          }
+          nStarts = w
+        }
+        j += 1
+      }
+      math.max(nStarts, 0)
+    } else {
+      // greedy minimal chain per start (see phraseMatches scaladoc)
+      val p0s = posPerSlot(0)
+      var tf = 0
+      var a = 0
+      var exhaustedChain = false
+      while (a < p0s.length && !exhaustedChain) {
+        var prev = p0s(a)
+        var j = 1
+        while (j < posPerSlot.length && !exhaustedChain) {
+          val pj = posPerSlot(j)
+          var lo = 0; var hi = pj.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (pj(mid) <= prev) lo = mid + 1 else hi = mid
+          }
+          if (lo == pj.length) exhaustedChain = true
+          else prev = pj(lo)
+          j += 1
+        }
+        if (!exhaustedChain && prev - p0s(a) <= bound) tf += 1
+        a += 1
+      }
+      tf
+    }
+
   /** Pruned phrase matching over one shard: docId LEAPFROG intersection
     * of the distinct query terms (block-skip on maxDoc metadata, like
     * the conjunctive WAND mode), then positional verification ONLY for
@@ -467,66 +606,12 @@ object Wand {
       }
       if (maxDoc == Long.MaxValue) done = true // some term exhausted
       else if (minDoc == maxDoc) {
-        if (slop == 0) {
-          // all terms contain maxDoc — verify consecutive positions:
-          // starts = ∩_j (positions(slot_j) − j), arrays sorted strictly
-          // increasing, intersected pairwise
-          var starts: Array[Int] = null
-          var nStarts = -1
-          var j = 0
-          while (j < slotIters.length && nStarts != 0) {
-            val pj = slotIters(j).curPositions
-            if (starts == null) {
-              starts = new Array[Int](pj.length)
-              var p = 0
-              while (p < pj.length) { starts(p) = pj(p) - j; p += 1 }
-              nStarts = pj.length
-            } else {
-              // in-place sorted intersection of starts[0,nStarts) with pj−j
-              var a = 0; var b = 0; var w = 0
-              while (a < nStarts && b < pj.length) {
-                val sv = starts(a)
-                val pv = pj(b) - j
-                if (sv == pv) { starts(w) = sv; w += 1; a += 1; b += 1 }
-                else if (sv < pv) a += 1
-                else b += 1
-              }
-              nStarts = w
-            }
-            j += 1
-          }
-          if (nStarts > 0) out += ((maxDoc, nStarts))
-        } else {
-          // sloppy: greedy minimal chain per start of slot 0. The chain
-          // end is non-decreasing in the start position, so once a slot
-          // runs out of positions above prev, every later start fails
-          // too (the `exhaustedChain` break).
-          val posArr: Array[Array[Int]] = slotIters.map(_.curPositions)
-          val p0s = posArr(0)
-          val bound = slots.length - 1 + slop
-          var tf = 0
-          var a = 0
-          var exhaustedChain = false
-          while (a < p0s.length && !exhaustedChain) {
-            var prev = p0s(a)
-            var j = 1
-            while (j < posArr.length && !exhaustedChain) {
-              val pj = posArr(j)
-              // smallest element strictly greater than prev
-              var lo = 0; var hi = pj.length
-              while (lo < hi) {
-                val mid = (lo + hi) >>> 1
-                if (pj(mid) <= prev) lo = mid + 1 else hi = mid
-              }
-              if (lo == pj.length) exhaustedChain = true
-              else prev = pj(lo)
-              j += 1
-            }
-            if (!exhaustedChain && prev - p0s(a) <= bound) tf += 1
-            a += 1
-          }
-          if (tf > 0) out += ((maxDoc, tf))
-        }
+        // all terms contain maxDoc — positional verification (exact
+        // intersection or greedy sloppy chain, shared with the
+        // multi-phrase path)
+        val tf = countStarts(slotIters.map(_.curPositions),
+          slots.length - 1 + slop, slop)
+        if (tf > 0) out += ((maxDoc, tf))
         i = 0
         while (i < its.length) { its(i).next(); i += 1 }
       } else {

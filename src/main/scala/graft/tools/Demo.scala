@@ -73,9 +73,13 @@ object Demo {
     show("reqopt  ", s.topKWand(terms, 5, BM25(), must = terms.take(1)))
     // phrase clause inside a boolean query (clause-level scorer)
     show("boolphr ", s.search(s"""+"${terms.take(2).mkString(" ")}" ${terms.head}""", 5))
-    // sloppy phrase ("..."~N) and minimumShouldMatch
+    // sloppy phrase ("..."~N), minimumShouldMatch, multi-phrase
     show("slop    ", s.search(s""""${terms.take(2).mkString(" ")}"~2""", 5))
     show("minshld ", s.topKWand(terms :+ "window", 5, minShouldMatch = 2))
+    show("mphrase ", s.multiPhraseTopK(
+      Seq(Seq(terms.head), terms.drop(1) :+ "sort"), 5))
+    show("pprefix ", s.phrasePrefixTopK(
+      Seq(terms.head), terms(1).take(2), 5))
     // SQL surface: native analyzer expressions
     graft.sql.GraftFunctions.register(spark)
     show("sql     ", spark.sql(

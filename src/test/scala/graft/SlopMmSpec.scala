@@ -128,6 +128,68 @@ class SlopMmSpec extends AnyFunSuite {
     assert(tight.subsetOf(loose) && loose.size > tight.size)
   }
 
+  // ---- multi-phrase (Lucene MultiPhraseQuery) ----
+
+  test("multi-phrase: per-slot alternatives, hand-pinned; singleton ≡ phraseTopK") {
+    val idx = index(Seq(
+      (0L, "alpha beta x7"),
+      (1L, "alpha gamma x7"),
+      (2L, "alpha delta x7"), // delta not an alternative → no match
+      (3L, "beta alpha"), // wrong order
+      (4L, "alpha beta alpha gamma"))) // two starts (one per variant)
+    val s = new Searcher(spark, idx)
+    val mp = hits(s.multiPhraseTopK(Seq(Seq("alpha"), Seq("beta", "gamma")), 10))
+    assert(mp.map(_._1).toSet === Set(0L, 1L, 4L))
+    // doc 4 has tf 2 (both variants start once) — it must outrank the
+    // tf-1 docs despite being longer? dl penalty may flip that; pin
+    // instead via the exhaustive oracle
+    val ex = hits(s.multiPhraseTopKExhaustive(Seq(Seq("alpha"), Seq("beta", "gamma")), 10))
+    assert(mp === ex)
+    // slop widens across alternatives too: doc 2 "alpha delta x7" with
+    // alternative set {beta, gamma, x7} at slop 1 matches via x7
+    val sloppy = hits(s.multiPhraseTopK(Seq(Seq("alpha"), Seq("beta", "gamma", "x7")), 10, slop = 1))
+    assert(sloppy.map(_._1).toSet === Set(0L, 1L, 2L, 4L))
+  }
+
+  test("multi-phrase pruned ≡ exhaustive; singleton slots ≡ phraseTopK (rank+score)") {
+    val corpus = randomDocs(140, 61L)
+    for (shardSize <- Seq(16L, 1024L)) {
+      val idx = index(corpus, shardSize)
+      val s = new Searcher(spark, idx)
+      // singleton slots degenerate to the plain phrase path exactly
+      assert(hits(s.multiPhraseTopK(Seq(Seq("alpha"), Seq("kappa")), 200)) ===
+        hits(s.phraseTopK(Seq("alpha", "kappa"), 200)))
+      for (slop <- Seq(0, 1)) {
+        val slots = Seq(Seq("alpha"), Seq("beta", "kappa"), Seq("gamma", "eps"))
+        val pr = hits(s.multiPhraseTopK(slots, 200, slop = slop))
+        val ex = hits(s.multiPhraseTopKExhaustive(slots, 200, slop = slop))
+        assert(pr.map(_._1) === ex.map(_._1), s"shard=$shardSize slop=$slop")
+        pr.zip(ex).foreach { case (a, b) =>
+          assert(math.abs(a._2 - b._2) <= 1e-12 * math.max(1.0, math.abs(b._2)))
+        }
+        assert(pr.nonEmpty, "corpus produced no multi-phrase matches")
+      }
+    }
+  }
+
+  test("phrase-prefix: final slot expands the dictionary prefix") {
+    val idx = index(randomDocs(140, 61L), shardSize = 32L)
+    val s = new Searcher(spark, idx)
+    // 'ka' expands to exactly {kappa} in this vocabulary → identical
+    // to the plain phrase
+    assert(hits(s.phrasePrefixTopK(Seq("alpha"), "ka", 200)) ===
+      hits(s.phraseTopK(Seq("alpha", "kappa"), 200)))
+    // 'e' expands to {eps, eta} → identical to the explicit multi-phrase
+    assert(hits(s.phrasePrefixTopK(Seq("alpha"), "e", 200)) ===
+      hits(s.multiPhraseTopK(Seq(Seq("alpha"), Seq("eps", "eta")), 200)))
+    // no dictionary term with the prefix → no hits
+    assert(s.phrasePrefixTopK(Seq("alpha"), "zz", 10).count() === 0L)
+    // TooManyClauses contract
+    intercept[IllegalArgumentException] {
+      s.phrasePrefixTopK(Seq("alpha"), "e", 10, maxExpansions = 1).collect()
+    }
+  }
+
   // ---- minimumShouldMatch ----
 
   test("minShouldMatch: WAND ≡ exhaustive at every feasible mm; mm=n ≡ AND") {
