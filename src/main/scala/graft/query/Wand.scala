@@ -446,6 +446,9 @@ object Wand {
     val k = slotIts.length
     val bound = k - 1 + slop
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    // scratch reused across candidates (hot loop when slots are common)
+    val posPerSlot = new Array[Array[Int]](k)
+    val matchScratch = new Array[TermIterator](slotIts.map(_.length).max)
     var candidate = 0L
     var done = false
     while (!done) {
@@ -467,32 +470,29 @@ object Wand {
       if (candidate == Long.MaxValue) done = true
       else if (!moved) {
         // every slot has ≥1 alternative at `candidate` — merge each
-        // slot's matching alternatives' positions (ascending)
-        val posPerSlot = new Array[Array[Int]](k)
+        // slot's matching alternatives' positions (ascending). Hot
+        // loop at corpus scale when every slot holds a common term
+        // (every doc is a candidate): no iterator/closure allocation,
+        // single-alternative slots reuse the decoded array, two-way
+        // merges take the dedicated two-pointer path. Scratch arrays
+        // are reused across candidates.
         var s = 0
         while (s < k) {
-          val lists = slotIts(s).iterator
-            .filter(it => !it.exhausted && it.curDoc == candidate)
-            .map(_.curPositions).toArray
-          posPerSlot(s) =
-            if (lists.length == 1) lists(0)
-            else {
-              val merged = new Array[Int](lists.map(_.length).sum)
-              val idx = new Array[Int](lists.length)
-              var w = 0
-              while (w < merged.length) {
-                var best = -1; var bv = Int.MaxValue
-                var l = 0
-                while (l < lists.length) {
-                  if (idx(l) < lists(l).length && lists(l)(idx(l)) < bv) {
-                    bv = lists(l)(idx(l)); best = l
-                  }
-                  l += 1
-                }
-                merged(w) = bv; idx(best) += 1; w += 1
-              }
-              merged
+          val alts = slotIts(s)
+          var nm = 0
+          var a = 0
+          while (a < alts.length) {
+            val it = alts(a)
+            if (!it.exhausted && it.curDoc == candidate) {
+              matchScratch(nm) = it; nm += 1
             }
+            a += 1
+          }
+          posPerSlot(s) =
+            if (nm == 1) matchScratch(0).curPositions
+            else if (nm == 2)
+              merge2(matchScratch(0).curPositions, matchScratch(1).curPositions)
+            else mergeN(matchScratch, nm)
           s += 1
         }
         val tf = countStarts(posPerSlot, bound, slop)
@@ -501,6 +501,43 @@ object Wand {
       }
     }
     out.iterator
+  }
+
+  /** Ascending two-pointer merge (the common ≥2-alternatives case). */
+  private def merge2(x: Array[Int], y: Array[Int]): Array[Int] = {
+    val r = new Array[Int](x.length + y.length)
+    var a = 0; var b = 0; var w = 0
+    while (a < x.length && b < y.length) {
+      if (x(a) <= y(b)) { r(w) = x(a); a += 1 } else { r(w) = y(b); b += 1 }
+      w += 1
+    }
+    while (a < x.length) { r(w) = x(a); a += 1; w += 1 }
+    while (b < y.length) { r(w) = y(b); b += 1; w += 1 }
+    r
+  }
+
+  /** k-way ascending merge over the first `nm` scratch iterators'
+    * current positions (rare: ≥3 alternatives matching one doc). */
+  private def mergeN(its: Array[TermIterator], nm: Int): Array[Int] = {
+    val lists = new Array[Array[Int]](nm)
+    var total = 0
+    var l = 0
+    while (l < nm) { lists(l) = its(l).curPositions; total += lists(l).length; l += 1 }
+    val r = new Array[Int](total)
+    val idx = new Array[Int](nm)
+    var w = 0
+    while (w < total) {
+      var best = -1; var bv = Int.MaxValue
+      l = 0
+      while (l < nm) {
+        if (idx(l) < lists(l).length && lists(l)(idx(l)) < bv) {
+          bv = lists(l)(idx(l)); best = l
+        }
+        l += 1
+      }
+      r(w) = bv; idx(best) += 1; w += 1
+    }
+    r
   }
 
   /** Start-position count shared by the exact and sloppy verifiers:

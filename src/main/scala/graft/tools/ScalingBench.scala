@@ -176,7 +176,19 @@ object ScalingBench {
         "phrase_sel" -> (() => s.phraseTopK(Seq("return", "x5"), 10).collect()),
         "phrase_skew" -> (() => s.phraseTopK(Seq("public", "class"), 10).collect()),
         "phrase_exh_sel" -> (() => s.phraseTopKExhaustive(Seq("return", "x5"), 10).collect()),
-        "phrase_exh_skew" -> (() => s.phraseTopKExhaustive(Seq("public", "class"), 10).collect()))
+        "phrase_exh_skew" -> (() => s.phraseTopKExhaustive(Seq("public", "class"), 10).collect()),
+        // round-5 family: sloppy window on both phrase shapes, slot
+        // alternatives over the two commonest keywords, a common-term
+        // phrase whose FINAL slot is a 111-term dictionary prefix
+        // expansion, and mm=2 over the mixed-df OR triple
+        "slop_sel" -> (() => s.phraseTopK(Seq("return", "x5"), 10, slop = 2).collect()),
+        "slop_skew" -> (() => s.phraseTopK(Seq("public", "class"), 10, slop = 2).collect()),
+        "mphrase_skew" -> (() => s.multiPhraseTopK(
+          Seq(Seq("public"), Seq("class", "static")), 10).collect()),
+        "pprefix_id94" -> (() => s.phrasePrefixTopK(Seq("public"), "id94", 10,
+          maxExpansions = 1024).collect()),
+        "minshould_mixed" -> (() => s.topKWand(Seq("id17", "return", "id999"), 10,
+          minShouldMatch = 2).collect()))
       queries.map { case (name, fn) =>
         fn() // warm
         val times = (1 to reps).map { _ =>
