@@ -129,6 +129,11 @@ object EngineQueries {
     asTopK(searcher(s, dir).topKWand(Seq("spark", "merge", "window"), 10,
       minShouldMatch = 2))
 
+  /** Disjunction-max (Lucene DisjunctionMaxQuery, tieBreaker 0.3):
+    * best term's contribution + 0.3 × the rest. */
+  def dismax(s: SparkSession, dir: String): DataFrame =
+    asTopK(searcher(s, dir).dismaxTopK(Seq("spark", "merge", "window"), 10, 0.3))
+
   def sortTopK(s: SparkSession, dir: String): DataFrame =
     searcher(s, dir).sortedTopK(Seq("spark"), "lang", ascending = true, 15)
       .select(col("docId").cast("long").as("doc_id"), col("lang"),

@@ -311,6 +311,26 @@ SELECT doc_id, round(s, 4) AS score FROM scored
 WHERE m >= 2
 ORDER BY s DESC, doc_id LIMIT 10"""),
 
+    // DisjunctionMaxQuery, tieBreaker 0.3: best contribution + 0.3·rest
+    "dismax_topk" -> (TOK + """
+, tfq AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM emitted
+  WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+dfq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM
+    (SELECT DISTINCT doc_id, term FROM emitted
+     WHERE term IN ('spark', 'merge', 'window'))
+  GROUP BY 1),
+contrib AS (
+  SELECT t.doc_id,
+         ln(1.0 + (co.n - f.df + 0.5) / (f.df + 0.5))
+           * t.tf / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / co.avgdl)) AS c
+  FROM tfq t JOIN dfq f USING (term) JOIN dl d USING (doc_id)
+  CROSS JOIN corpus co),
+per AS (SELECT doc_id, max(c) AS mx, sum(c) AS sm FROM contrib GROUP BY 1)
+SELECT doc_id, round(mx + 0.3 * (sm - mx), 4) AS score FROM per
+ORDER BY mx + 0.3 * (sm - mx) DESC, doc_id LIMIT 10"""),
+
     "sort_topk" -> (TOK + bm25Scored(Seq("spark")) + """
 SELECT s.doc_id, d.lang, round(s.s, 4) AS score
 FROM scored s JOIN documents d USING (doc_id)

@@ -271,6 +271,86 @@ final class Searcher(
       .limit(k)
       .select("docId", "score")
 
+  /** Disjunction-max top-k (Lucene DisjunctionMaxQuery over term
+    * sub-queries): score = best matching term's contribution +
+    * tieBreaker · (sum of the other matching terms') — the "pick the
+    * best field/term, don't reward repetition" scorer dismax exists
+    * for. tieBreaker ∈ [0,1]; 1 degenerates to the plain OR sum (BM25
+    * docFactor ≡ 1), 0 scores only the best term. No coord/docFactor
+    * (Lucene dismax has none) — use docFactor-free scorers (BM25 /
+    * Boosted). Runs on the WAND cogroup: the sum-of-ubs pivot bound
+    * stays admissible because dismax ≤ sum for tb ≤ 1. */
+  def dismaxTopK(
+      terms: Seq[String],
+      k: Int,
+      tieBreaker: Double = 0.0,
+      scorer: Scorer = BM25()): DataFrame = {
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0, "tieBreaker must be in [0,1]")
+    val qTerms = terms.distinct.sorted
+    val meta = collectMeta(qTerms)
+    val dfs = meta.dfs
+    val queryDfs = qTerms.map(t => dfs.getOrElse(t, 0L).toDouble)
+    val nQueryTerms = qTerms.size
+    val st = stats
+    val scorerB = scorer
+    val tbB = tieBreaker
+    val prows = pruneShards(postingRows(qTerms).toDF(), meta.shards)
+      .as[PostingRow].groupByKey(_.shard)
+    val dls = pruneShards(dlWithShard, meta.shards)
+      .select(col("docId"), col("dl"), col("shard"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._3)
+    val perShard: Dataset[ScoredDoc] = prows.cogroup(dls) {
+      (_: Long, ps: Iterator[PostingRow], ds: Iterator[(Long, Double, Long)]) =>
+        val rows = ps.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val dlMap = new scala.collection.mutable.LongMap[Double]()
+          ds.foreach { case (d, dl, _) => dlMap.update(d, dl) }
+          val iters = rows.map { r =>
+            val df = dfs.getOrElse(r.term, 0L).toDouble
+            new TermIterator(r.term, df,
+              scorerB.upperBound(r.maxTf.toDouble, df, st), scorerB, st,
+              new PostingsCodec.BlobView(r.blob))
+          }.toSeq
+          Wand.topK(iters, d => dlMap.getOrElse(d, Double.NaN),
+            scorerB, st, k, queryTermCount = nQueryTerms, queryDfsIn = queryDfs,
+            dismaxTieBreaker = tbB).iterator
+        }
+    }
+    perShard.toDF()
+      .orderBy(desc("score"), asc("docId"))
+      .limit(k)
+  }
+
+  /** Exhaustive dismax cross-validation path (fixed-order fold like
+    * `scoredDocs`, then max + tb·rest per doc). */
+  def dismaxTopKExhaustive(
+      terms: Seq[String],
+      k: Int,
+      tieBreaker: Double = 0.0,
+      scorer: Scorer = BM25()): DataFrame = {
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0)
+    val qTerms = terms.distinct.sorted
+    val meta = collectMeta(qTerms)
+    val dfLookup = typedlit(meta.dfs.map { case (t, d) => t -> d.toDouble })
+    val m = matches(qTerms).toDF()
+      .join(dlLookup(meta), Seq("docId"))
+      .withColumn("df", element_at(dfLookup, col("term")))
+      .withColumn("tscore",
+        scorer.contributionCol(col("tf").cast("double"), col("df"), col("dl"), stats))
+    m.groupBy("docId")
+      .agg(sort_array(collect_list(struct(col("term"), col("tscore")))).as("cs"))
+      .withColumn("sm",
+        aggregate(col("cs"), lit(0.0), (acc, x) => acc + x.getField("tscore")))
+      .withColumn("mx",
+        aggregate(col("cs"), lit(Double.MinValue),
+          (acc, x) => greatest(acc, x.getField("tscore"))))
+      .withColumn("score", col("mx") + lit(tieBreaker) * (col("sm") - col("mx")))
+      .orderBy(desc("score"), asc("docId")).limit(k)
+      .select("docId", "score")
+  }
+
   /** Total hit count (reference totalHits, TestHBaseIndexReader.java:50).
     * Counts LIVE matches only (tombstoned docs excluded). */
   def totalHits(terms: Seq[String], requireAll: Boolean = false): Long = {

@@ -152,7 +152,14 @@ object Wand {
     *   time: θ-pruning stays sound because the filter only removes
     *   hits (θ is never raised by an unqualified doc). Ignored in
     *   requireAll mode (no SHOULD clauses exist — callers map
-    *   mm > #should to an empty result per the Lucene contract). */
+    *   mm > #should to an empty result per the Lucene contract).
+    * @param dismaxTieBreaker when not NaN, score candidates with
+    *   Lucene DisjunctionMaxQuery semantics instead of the sum:
+    *   max contribution + tieBreaker · (sum of the others). Requires
+    *   0 ≤ tieBreaker ≤ 1 so the sum-of-ubs pivot bound stays an
+    *   upper bound (dismax ≤ sum for tb ≤ 1 — pruning is sound,
+    *   merely looser). docFactor is NOT applied (Lucene's dismax has
+    *   no coord); callers pass scorers with docFactor ≡ 1 (BM25). */
   def topK(
       itersIn: Seq[TermIterator],
       dlOf: Long => Double,
@@ -165,7 +172,12 @@ object Wand {
       initialThreshold: Double = Double.NegativeInfinity,
       excludeIters: Seq[TermIterator] = Nil,
       requiredTerms: Set[String] = null,
-      minShouldMatch: Int = 0): Seq[ScoredDoc] = {
+      minShouldMatch: Int = 0,
+      dismaxTieBreaker: Double = Double.NaN): Seq[ScoredDoc] = {
+    require(dismaxTieBreaker.isNaN ||
+      (dismaxTieBreaker >= 0.0 && dismaxTieBreaker <= 1.0 && !requireAll &&
+        (requiredTerms == null || requiredTerms.isEmpty)),
+      "dismax: tieBreaker must be in [0,1] and mode must be pure OR")
 
     val excl = excludeIters.toArray
     def isExcluded(d: Long): Boolean = {
@@ -383,20 +395,26 @@ object Wand {
               && !isExcluded(pivotDoc)) {
             if (!requireAll || nMatched == nTerms) {
               // deterministic order: byTerm is term-ascending
-              var score = 0.0
+              var sum = 0.0
+              var maxC = 0.0
               var m = 0
               var t = 0
               val dl = dlPivot
               while (t < byTerm.length) {
                 val it = byTerm(t)
                 if (!it.exhausted && it.curDoc == pivotDoc) {
-                  score += scorer.contribution(it.curTf.toDouble, it.df, dl, stats)
+                  val c = scorer.contribution(it.curTf.toDouble, it.df, dl, stats)
+                  sum += c
+                  if (c > maxC) maxC = c
                   m += 1
                 }
                 t += 1
               }
               if (m >= minShouldMatch) { // pure-OR: every term is a SHOULD
-                score *= scorer.docFactor(m, queryDfs, stats)
+                val score =
+                  if (dismaxTieBreaker.isNaN)
+                    sum * scorer.docFactor(m, queryDfs, stats)
+                  else maxC + dismaxTieBreaker * (sum - maxC)
                 offer(pivotDoc, score)
               }
             }

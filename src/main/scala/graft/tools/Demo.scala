@@ -80,6 +80,7 @@ object Demo {
       Seq(Seq(terms.head), terms.drop(1) :+ "sort"), 5))
     show("pprefix ", s.phrasePrefixTopK(
       Seq(terms.head), terms(1).take(2), 5))
+    show("dismax  ", s.dismaxTopK(terms :+ "window", 5, tieBreaker = 0.3))
     // SQL surface: native analyzer expressions
     graft.sql.GraftFunctions.register(spark)
     show("sql     ", spark.sql(

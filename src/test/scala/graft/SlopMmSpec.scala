@@ -190,6 +190,38 @@ class SlopMmSpec extends AnyFunSuite {
     }
   }
 
+  // ---- DisjunctionMaxQuery ----
+
+  test("dismax: WAND ≡ exhaustive; tb=1 ≡ OR sum; tb=0 ≡ best single term") {
+    val corpus = randomDocs(150, 71L)
+    val terms = Seq("alpha", "beta", "kappa")
+    for (shardSize <- Seq(16L, 1024L)) {
+      val idx = index(corpus, shardSize)
+      val s = new Searcher(spark, idx)
+      val n = idx.stats.numDocs.toInt
+      for (tb <- Seq(0.0, 0.3, 1.0)) {
+        val wand = hits(s.dismaxTopK(terms, n, tb))
+        val ex = hits(s.dismaxTopKExhaustive(terms, n, tb))
+        assert(wand.map(_._1) === ex.map(_._1), s"shard=$shardSize tb=$tb")
+        wand.zip(ex).foreach { case (a, b) =>
+          assert(math.abs(a._2 - b._2) <= 1e-12 * math.max(1.0, math.abs(b._2)))
+        }
+      }
+      // tb = 1: dismax degenerates to the plain OR sum (BM25 docFactor ≡ 1)
+      val or = hits(s.topKWand(terms, n)).toMap
+      hits(s.dismaxTopK(terms, n, 1.0)).foreach { case (d, sc) =>
+        assert(math.abs(sc - or(d)) <= 1e-12 * math.max(1.0, math.abs(or(d))))
+      }
+      // tb = 0: per-doc score = the best of the three single-term scores
+      val singles = terms.map(t =>
+        hits(s.topKWand(Seq(t), n)).toMap.withDefaultValue(0.0))
+      hits(s.dismaxTopK(terms, n, 0.0)).foreach { case (d, sc) =>
+        val best = singles.map(_(d)).max
+        assert(math.abs(sc - best) <= 1e-12 * math.max(1.0, best), s"doc=$d")
+      }
+    }
+  }
+
   // ---- minimumShouldMatch ----
 
   test("minShouldMatch: WAND ≡ exhaustive at every feasible mm; mm=n ≡ AND") {
