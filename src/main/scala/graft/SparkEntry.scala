@@ -47,6 +47,7 @@ object SparkEntry {
     "phrase_prefix" -> ((s, d) => E.phrasePrefix(s, d)),
     "bm25_minshould" -> ((s, d) => E.bm25MinShould(s, d)),
     "dismax_topk" -> ((s, d) => E.dismax(s, d)),
+    "span_first" -> ((s, d) => E.spanFirst(s, d)),
     "sort_topk" -> ((s, d) => E.sortTopK(s, d)),
     "sort_topk2" -> ((s, d) => E.sortTopK2(s, d)),
     "term_vector" -> ((s, d) => E.termVector(s, d, 3L)),

@@ -129,6 +129,12 @@ object EngineQueries {
     asTopK(searcher(s, dir).topKWand(Seq("spark", "merge", "window"), 10,
       minShouldMatch = 2))
 
+  /** Span-first (Lucene SpanFirstQuery): 'spark' within the first 5
+    * analyzer positions, scored as a pseudo-term over qualifying
+    * occurrences. */
+  def spanFirst(s: SparkSession, dir: String): DataFrame =
+    asTopK(searcher(s, dir).spanFirstTopK("spark", 5, 10))
+
   /** Disjunction-max (Lucene DisjunctionMaxQuery, tieBreaker 0.3):
     * best term's contribution + 0.3 × the rest. */
   def dismax(s: SparkSession, dir: String): DataFrame =

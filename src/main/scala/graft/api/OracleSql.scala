@@ -311,6 +311,12 @@ SELECT doc_id, round(s, 4) AS score FROM scored
 WHERE m >= 2
 ORDER BY s DESC, doc_id LIMIT 10"""),
 
+    // SpanFirstQuery: 'spark' within the first 5 positions; pseudo-term
+    // scoring over qualifying occurrences only
+    "span_first" -> (TOK + """
+, starts AS (
+  SELECT doc_id, pos FROM emitted WHERE term = 'spark' AND pos <= 5)""" + phraseScoreTail),
+
     // DisjunctionMaxQuery, tieBreaker 0.3: best contribution + 0.3·rest
     "dismax_topk" -> (TOK + """
 , tfq AS (

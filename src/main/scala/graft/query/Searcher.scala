@@ -553,6 +553,28 @@ final class Searcher(
       .localCheckpoint() // one cogroup for both the df count and scoring
   }
 
+  /** Span-first query (Lucene SpanFirstQuery over a SpanTermQuery):
+    * rank docs where `term` occurs within the first `end` token
+    * positions (1-based analyzer positions, stopword slots counted —
+    * the engine's convention throughout); tf counts only the
+    * qualifying occurrences and the match set is scored as one
+    * pseudo-term with df = qualifying docs, like the phrase family.
+    * One shard-pruned pass over the term's postings; the position
+    * filter runs inside codegen on the decoded arrays. */
+  def spanFirstTopK(term: String, end: Int, k: Int,
+      scorer: Scorer = BM25()): DataFrame = {
+    require(end > 0, "end must be positive")
+    val meta = collectMeta(Seq(term))
+    if (!meta.dfs.contains(term)) return emptyHits
+    val matched = matchesWithPositions(Seq(term)).toDF()
+      .select(col("docId"),
+        size(filter(col("positions"), p => p <= lit(end))).as("tf"))
+      .where(col("tf") > 0)
+      .join(dlLookup(meta), Seq("docId")) // live docs only (tombstones out)
+      .localCheckpoint() // one pass for both the df count and scoring
+    scorePhraseMatched(matched, scorer, k)
+  }
+
   /** Phrase-prefix query (Lucene MultiPhrasePrefixQuery — the engine
     * behind Elasticsearch's match_phrase_prefix): exact leading slots,
     * final slot = every dictionary term starting with `prefix`

@@ -81,6 +81,7 @@ object Demo {
     show("pprefix ", s.phrasePrefixTopK(
       Seq(terms.head), terms(1).take(2), 5))
     show("dismax  ", s.dismaxTopK(terms :+ "window", 5, tieBreaker = 0.3))
+    show("spanfst ", s.spanFirstTopK(terms.head, 5, 3))
     // SQL surface: native analyzer expressions
     graft.sql.GraftFunctions.register(spark)
     show("sql     ", spark.sql(

@@ -190,6 +190,32 @@ class SlopMmSpec extends AnyFunSuite {
     }
   }
 
+  // ---- SpanFirstQuery ----
+
+  test("span-first: only occurrences within the window count; end=∞ ≡ single-term") {
+    val idx = index(Seq(
+      (0L, "alpha beta gamma"), // alpha at 1 — inside any window
+      (1L, "beta gamma delta eps alpha"), // alpha at 5 — outside end=3
+      (2L, "beta alpha gamma alpha"), // positions 2 and 4: end=3 counts ONE
+      (3L, "beta gamma delta")))
+    val s = new Searcher(spark, idx)
+    assert(hits(s.spanFirstTopK("alpha", 3, 10)).map(_._1).toSet === Set(0L, 2L))
+    assert(hits(s.spanFirstTopK("alpha", 5, 10)).map(_._1).toSet === Set(0L, 1L, 2L))
+    // qualifying-tf semantics: at end=3 doc 2 has tf 1, same as doc 0 —
+    // the shorter doc 0 must rank first (BM25 length norm)
+    val atThree = hits(s.spanFirstTopK("alpha", 3, 10))
+    assert(atThree.head._1 === 0L)
+    // window beyond every doc length ≡ the plain single-term query
+    val big = hits(s.spanFirstTopK("alpha", 1000, 10))
+    val single = hits(s.topK(Seq("alpha"), 10))
+    assert(big.map(_._1) === single.map(_._1))
+    big.zip(single).foreach { case (a, b) =>
+      assert(math.abs(a._2 - b._2) <= 1e-12 * math.max(1.0, math.abs(b._2)))
+    }
+    // unknown term → empty
+    assert(s.spanFirstTopK("zzz_nope", 5, 10).count() === 0L)
+  }
+
   // ---- DisjunctionMaxQuery ----
 
   test("dismax: WAND ≡ exhaustive; tb=1 ≡ OR sum; tb=0 ≡ best single term") {
