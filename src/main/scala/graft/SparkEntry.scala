@@ -48,6 +48,7 @@ object SparkEntry {
     "bm25_minshould" -> ((s, d) => E.bm25MinShould(s, d)),
     "dismax_topk" -> ((s, d) => E.dismax(s, d)),
     "span_first" -> ((s, d) => E.spanFirst(s, d)),
+    "qstring_expansion" -> ((s, d) => E.qstringExpansion(s, d)),
     "sort_topk" -> ((s, d) => E.sortTopK(s, d)),
     "sort_topk2" -> ((s, d) => E.sortTopK2(s, d)),
     "term_vector" -> ((s, d) => E.termVector(s, d, 3L)),

@@ -129,6 +129,14 @@ object EngineQueries {
     asTopK(searcher(s, dir).topKWand(Seq("spark", "merge", "window"), 10,
       minShouldMatch = 2))
 
+  /** Classic-syntax multi-term MUST clause `+s* dup`: the s-prefixed
+    * dictionary range as a required GROUP (doc must hold ≥1 member;
+    * every matched member scores), `dup` as a scoring SHOULD — the
+    * parser's expansion clauses through the clause-level boolean
+    * scorer. */
+  def qstringExpansion(s: SparkSession, dir: String): DataFrame =
+    asTopK(searcher(s, dir).search("+s* dup", 10))
+
   /** Span-first (Lucene SpanFirstQuery): 'spark' within the first 5
     * analyzer positions, scored as a pseudo-term over qualifying
     * occurrences. */

@@ -311,6 +311,13 @@ SELECT doc_id, round(s, 4) AS score FROM scored
 WHERE m >= 2
 ORDER BY s DESC, doc_id LIMIT 10"""),
 
+    // classic-syntax expansion clause "+s* dup": required s-prefix
+    // group (>= 1 member present; all matched members score) + SHOULD dup
+    "qstring_expansion" -> (TOK + bm25ScoredPred("(term LIKE 's%' OR term = 'dup')") + """
+SELECT doc_id, round(s, 4) AS score FROM scored
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM emitted WHERE term LIKE 's%')
+ORDER BY s DESC, doc_id LIMIT 10"""),
+
     // SpanFirstQuery: 'spark' within the first 5 positions; pseudo-term
     // scoring over qualifying occurrences only
     "span_first" -> (TOK + """

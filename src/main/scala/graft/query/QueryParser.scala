@@ -11,6 +11,21 @@ import graft.analysis.TextAnalyzer
   * SloppyPhraseScorer, which additionally allows reordering). */
 final case class PhraseClause(slots: Seq[String], slop: Int = 0)
 
+/** One multi-term (expansion) clause from the classic syntax: `sp*`
+  * (prefix), `te?t` / `s*k` (wildcard), `roam~` / `roam~1` (fuzzy,
+  * default 2 edits). The pattern is lowercased, not analyzed — the
+  * Lucene classic parser's lowercaseExpandedTerms behavior; the
+  * dictionary expansion happens at search time (Searcher resolves
+  * each into its matching terms, TooManyClauses-bounded). */
+final case class ExpansionClause(kind: ExpansionKind, pattern: String,
+    maxEdits: Int = 2)
+sealed trait ExpansionKind
+object ExpansionKind {
+  case object Prefix extends ExpansionKind
+  case object Wildcard extends ExpansionKind
+  case object Fuzzy extends ExpansionKind
+}
+
 /** A classic query string parsed into Lucene BooleanQuery occur
   * buckets. Terms are post-analysis (the index's own analyzer),
   * deduplicated per bucket; each phrase clause keeps the emitted slot
@@ -23,13 +38,18 @@ final case class ParsedQuery(
     mustNot: Seq[String],
     mustPhrases: Seq[PhraseClause] = Nil,
     shouldPhrases: Seq[PhraseClause] = Nil,
-    notPhrases: Seq[PhraseClause] = Nil) {
+    notPhrases: Seq[PhraseClause] = Nil,
+    mustExpansions: Seq[ExpansionClause] = Nil,
+    shouldExpansions: Seq[ExpansionClause] = Nil,
+    notExpansions: Seq[ExpansionClause] = Nil) {
   def isEmpty: Boolean =
     must.isEmpty && should.isEmpty && mustNot.isEmpty &&
-      mustPhrases.isEmpty && shouldPhrases.isEmpty && notPhrases.isEmpty
+      mustPhrases.isEmpty && shouldPhrases.isEmpty && notPhrases.isEmpty &&
+      mustExpansions.isEmpty && shouldExpansions.isEmpty && notExpansions.isEmpty
   /** Any clause that can produce a hit (NOT clauses alone match nothing). */
   def hasScoring: Boolean =
-    must.nonEmpty || should.nonEmpty || mustPhrases.nonEmpty || shouldPhrases.nonEmpty
+    must.nonEmpty || should.nonEmpty || mustPhrases.nonEmpty ||
+      shouldPhrases.nonEmpty || mustExpansions.nonEmpty || shouldExpansions.nonEmpty
   /** Scoring phrase clauses with their MUST flag, input order. */
   def scoringPhrases: Seq[(PhraseClause, Boolean)] =
     mustPhrases.map(_ -> true) ++ shouldPhrases.map(_ -> false)
@@ -56,15 +76,21 @@ final case class ParsedQuery(
   *   - `"a b"~N`         → sloppy phrase (Lucene PhraseQuery.setSlop
   *     via the parser's `~` phrase suffix); a malformed suffix (no
   *     digits) is ignored, like Lucene's lenient float parse
+  *   - `sp*` / `te?t`    → prefix / wildcard multi-term clause, any
+  *     occur (Lucene PrefixQuery/WildcardQuery with the scoring
+  *     boolean rewrite — resolved against the dictionary at search
+  *     time, TooManyClauses-bounded)
+  *   - `roam~` / `roam~1` → fuzzy multi-term clause (Lucene
+  *     FuzzyQuery; default 2 edits, `~N` capped at 2)
   *
   * Divergences, documented:
   *   - a single clause that analyzes to several terms (e.g.
   *     `+snake_case` under the code analyzer) contributes each term
   *     with the clause's occur flag, where Lucene would synthesize a
   *     sub-PhraseQuery;
-  *   - no grouping parentheses, field prefixes, boosts or fuzzy
-  *     suffixes — the engine exposes those as explicit API calls
-  *     (`Boosted`, `fuzzyTopK`, `prefixTopK`).
+  *   - no grouping parentheses, field prefixes or boosts — the engine
+  *     exposes those as explicit API calls (`Boosted`, field-scoped
+  *     Searcher instances).
   */
 object QueryParser {
 
@@ -78,9 +104,11 @@ object QueryParser {
     * punctuation downstream anyway.
     */
   def parse(query: String, analyzer: TextAnalyzer): ParsedQuery = {
-    // (occur, text, isPhrase, slop) in input order — occur is re-written
-    // by a following AND, so buckets form only after the full scan
-    val clauses = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Boolean, Int)]
+    // (occur, text, isPhrase, slop, expansion-or-null) in input order —
+    // occur is re-written by a following AND, so buckets form only
+    // after the full scan
+    val clauses =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, Boolean, Int, ExpansionClause)]
     var conjAnd = false // a pending AND applies to the NEXT clause
     var mod = -1 // pending +/-/NOT modifier for the next clause
     var i = 0
@@ -119,7 +147,8 @@ object QueryParser {
           case "OR" | "||" if mod < 0 => conjAnd = false
           case "NOT" if mod < 0 => mod = NOT
           case _ =>
-            addClause(clauses, conjAnd, mod, word, isPhrase = false)
+            addClause(clauses, conjAnd, mod, word, isPhrase = false,
+              exp = classifyExpansion(word))
             conjAnd = false; mod = -1
         }
         i = j
@@ -132,27 +161,60 @@ object QueryParser {
     val mustP = Seq.newBuilder[PhraseClause]
     val shouldP = Seq.newBuilder[PhraseClause]
     val notP = Seq.newBuilder[PhraseClause]
-    clauses.foreach { case (occur, text, isPhrase, slop) =>
-      val slots = {
-        val b = Seq.newBuilder[String]
-        analyzer.foreachEmitted(text)((t, _) => b += t)
-        b.result()
-      }
-      if (slots.nonEmpty) {
-        if (isPhrase && slots.length > 1) occur match {
-          case MUST => mustP += PhraseClause(slots, slop)
-          case NOT => notP += PhraseClause(slots, slop)
-          case _ => shouldP += PhraseClause(slots, slop)
-        } else occur match { // 1-slot phrase degrades to its term clause
-          case MUST => must ++= slots
-          case NOT => not ++= slots
-          case _ => should ++= slots
+    val mustE = Seq.newBuilder[ExpansionClause]
+    val shouldE = Seq.newBuilder[ExpansionClause]
+    val notE = Seq.newBuilder[ExpansionClause]
+    clauses.foreach { case (occur, text, isPhrase, slop, exp) =>
+      if (exp != null) occur match {
+        case MUST => mustE += exp
+        case NOT => notE += exp
+        case _ => shouldE += exp
+      } else {
+        val slots = {
+          val b = Seq.newBuilder[String]
+          analyzer.foreachEmitted(text)((t, _) => b += t)
+          b.result()
+        }
+        if (slots.nonEmpty) {
+          if (isPhrase && slots.length > 1) occur match {
+            case MUST => mustP += PhraseClause(slots, slop)
+            case NOT => notP += PhraseClause(slots, slop)
+            case _ => shouldP += PhraseClause(slots, slop)
+          } else occur match { // 1-slot phrase degrades to its term clause
+            case MUST => must ++= slots
+            case NOT => not ++= slots
+            case _ => should ++= slots
+          }
         }
       }
     }
     ParsedQuery(must.result().distinct, should.result().distinct,
       not.result().distinct, mustP.result().distinct,
-      shouldP.result().distinct, notP.result().distinct)
+      shouldP.result().distinct, notP.result().distinct,
+      mustE.result().distinct, shouldE.result().distinct,
+      notE.result().distinct)
+  }
+
+  private val FuzzyRx = "^([^*?~]+)~([0-9]*)$".r
+
+  /** Classify a raw clause word as a multi-term (expansion) clause per
+    * the classic syntax: trailing `~`/`~N` → fuzzy, a single trailing
+    * `*` with no other wildcard → prefix, any other `*`/`?` mix with
+    * at least one literal → wildcard; anything else (including a bare
+    * `*` with no literals) → null = a plain analyzed term clause.
+    * Patterns are lowercased, not analyzed (Lucene
+    * lowercaseExpandedTerms). */
+  private def classifyExpansion(word: String): ExpansionClause = word match {
+    case FuzzyRx(base, edits) =>
+      ExpansionClause(ExpansionKind.Fuzzy, base.toLowerCase,
+        if (edits.isEmpty) 2 else math.min(edits.toInt, 2))
+    case w if w.exists(c => c == '*' || c == '?') &&
+        w.exists(c => c != '*' && c != '?') =>
+      val lw = w.toLowerCase
+      if (lw.endsWith("*") && !lw.dropRight(1).exists(c => c == '*' || c == '?'))
+        ExpansionClause(ExpansionKind.Prefix, lw.dropRight(1))
+      else ExpansionClause(ExpansionKind.Wildcard, lw)
+    case _ => null
   }
 
   /** QueryParserBase.addClause for the flat default-OR grammar: a
@@ -161,21 +223,22 @@ object QueryParser {
     * modifier already decided its occur.
     */
   private def addClause(
-      clauses: scala.collection.mutable.ArrayBuffer[(Int, String, Boolean, Int)],
+      clauses: scala.collection.mutable.ArrayBuffer[(Int, String, Boolean, Int, ExpansionClause)],
       conjAnd: Boolean,
       mod: Int,
       text: String,
       isPhrase: Boolean,
-      slop: Int = 0): Unit = {
+      slop: Int = 0,
+      exp: ExpansionClause = null): Unit = {
     if (conjAnd && clauses.nonEmpty) {
-      val (prevOccur, prevText, prevPhrase, prevSlop) = clauses.last
+      val (prevOccur, prevText, prevPhrase, prevSlop, prevExp) = clauses.last
       if (prevOccur == SHOULD)
-        clauses(clauses.length - 1) = (MUST, prevText, prevPhrase, prevSlop)
+        clauses(clauses.length - 1) = (MUST, prevText, prevPhrase, prevSlop, prevExp)
     }
     val occur =
       if (mod >= 0) mod
       else if (conjAnd) MUST
       else SHOULD
-    clauses += ((occur, text, isPhrase, slop))
+    clauses += ((occur, text, isPhrase, slop, exp))
   }
 }

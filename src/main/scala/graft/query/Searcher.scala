@@ -846,6 +846,36 @@ final class Searcher(
   private def emptyHits: DataFrame =
     Seq.empty[(Long, Double)].toDF("docId", "score")
 
+  /** Dictionary predicate of a wildcard pattern: leading literal run
+    * pushes down as a prefix scan, the full pattern applies as an
+    * anchored regex (shared by wildcardTopK and the parser's wildcard
+    * clauses). */
+  private def wildcardPred(pattern: String): org.apache.spark.sql.Column = {
+    val litPrefix = pattern.takeWhile(c => c != '*' && c != '?')
+    val rx = "^" + pattern.map {
+      case '*' => ".*"
+      case '?' => "."
+      case c => java.util.regex.Pattern.quote(c.toString)
+    }.mkString + "$"
+    if (litPrefix.isEmpty) col("term").rlike(rx)
+    else col("term").startsWith(litPrefix) && col("term").rlike(rx)
+  }
+
+  /** Resolve a parsed multi-term clause against the dictionary
+    * (TooManyClauses-bounded, like the explicit API calls). */
+  private def expandClause(e: ExpansionClause,
+      maxExpansions: Int = 1024): Seq[String] = e.kind match {
+    case ExpansionKind.Prefix =>
+      expandTerms(col("term").startsWith(e.pattern),
+        s"prefix '${e.pattern}'", maxExpansions)
+    case ExpansionKind.Wildcard =>
+      expandTerms(wildcardPred(e.pattern), s"wildcard '${e.pattern}'",
+        maxExpansions)
+    case ExpansionKind.Fuzzy =>
+      expandTerms(levenshtein(col("term"), lit(e.pattern)) <= e.maxEdits,
+        s"fuzzy '${e.pattern}'~${e.maxEdits}", maxExpansions)
+  }
+
   /** Parse a classic Lucene query string (the reference's entire search
     * surface goes through `new QueryParser(field, analyzer).parse(q)`,
     * TestHBaseneSearch.java) and dispatch to the matching pruned plan:
@@ -856,10 +886,38 @@ final class Searcher(
     * boolean scorer. A query with only prohibited clauses (or none)
     * matches nothing — the Lucene BooleanQuery contract. */
   def search(query: String, k: Int, scorer: Scorer = BM25()): DataFrame = {
-    val pq = QueryParser.parse(query, index.config.analyzer)
+    val raw = QueryParser.parse(query, index.config.analyzer)
+    // Resolve multi-term clauses against the dictionary (Lucene's
+    // rewrite step): SHOULD expansions flatten into SHOULD terms
+    // (scoring-boolean rewrite — each expanded term scores with its
+    // own idf), NOT expansions flatten into the exclusion set, and a
+    // MUST expansion becomes a GROUP — the doc must match ≥1 of its
+    // terms. An empty MUST expansion matches nothing (a required
+    // clause rewrote to the empty query); single-term groups degrade
+    // to plain MUST terms.
+    val shouldAll =
+      (raw.should ++ raw.shouldExpansions.flatMap(expandClause(_))).distinct
+    val notAll =
+      (raw.mustNot ++ raw.notExpansions.flatMap(expandClause(_))).distinct
+    val groupsAll = raw.mustExpansions.map(e => expandClause(e).distinct)
+    if (groupsAll.exists(_.isEmpty)) return emptyHits
+    val (singleGroups, multiGroups) = groupsAll.partition(_.size == 1)
+    val pq = raw.copy(
+      must = (raw.must ++ singleGroups.flatten).distinct,
+      should = shouldAll, mustNot = notAll,
+      mustExpansions = Nil, shouldExpansions = Nil, notExpansions = Nil)
     val phrases = pq.scoringPhrases
-    if (!pq.hasScoring) emptyHits
-    else if (phrases.nonEmpty || pq.notPhrases.nonEmpty) {
+    if (!pq.hasScoring && multiGroups.isEmpty) emptyHits
+    else if (multiGroups.nonEmpty) {
+      // one multi-term MUST group and nothing else scoring ⇒ a plain
+      // disjunction over the expansion (the group's own rewrite)
+      if (multiGroups.length == 1 && pq.must.isEmpty && pq.should.isEmpty &&
+          phrases.isEmpty && pq.notPhrases.isEmpty)
+        topKWand(multiGroups.head, k, scorer, mustNot = pq.mustNot)
+      else scoredDocsBoolean(pq, scorer, multiGroups)
+        .orderBy(desc("score"), asc("docId")).limit(k)
+        .select("docId", "score")
+    } else if (phrases.nonEmpty || pq.notPhrases.nonEmpty) {
       // fast path: exactly one scoring phrase and nothing else
       if (phrases.length == 1 && pq.must.isEmpty && pq.should.isEmpty &&
           pq.mustNot.isEmpty && pq.notPhrases.isEmpty)
@@ -887,28 +945,42 @@ final class Searcher(
     * clauses' own match volumes — the phrase side is already pruned,
     * and a MUST phrase bounds the surviving set harder than any term.
     */
-  def scoredDocsBoolean(pq: ParsedQuery, scorer: Scorer = BM25()): DataFrame = {
+  def scoredDocsBoolean(pq: ParsedQuery, scorer: Scorer = BM25(),
+      mustGroups: Seq[Seq[String]] = Nil): DataFrame = {
     val phrases = pq.scoringPhrases
-    require(pq.hasScoring, "boolean query needs at least one scoring clause")
-    val qTerms = (pq.must ++ pq.should).distinct.sorted
+    require(pq.hasScoring || mustGroups.nonEmpty,
+      "boolean query needs at least one scoring clause")
+    val plainTerms = (pq.must ++ pq.should).distinct.sorted
+    val qTerms = (plainTerms ++ mustGroups.flatten).distinct.sorted
     val mustTermSet = pq.must.distinct.toSet
     val st = stats
     val sc = scorer
     val meta = if (qTerms.isEmpty) null else collectMeta(qTerms)
 
+    // clause assignment: a plain term is its own clause "t:<term>"; a
+    // MUST group's members share one clause "g:<i>" (the group matches
+    // when ANY member does). A term can sit in several clauses — it
+    // then contributes once per clause, which is exactly Lucene's
+    // per-clause scoring of a rewritten multi-term query.
+    val clausePairs: Seq[(String, String, Boolean)] =
+      plainTerms.map(t => (t, "t:" + t, mustTermSet(t))) ++
+        mustGroups.zipWithIndex.flatMap { case (g, i) =>
+          g.distinct.map(t => (t, s"g:$i", true))
+        }
     // term clause rows: (clause, docId, tscore, isMust)
     val termRows: Option[DataFrame] = if (qTerms.isEmpty) None else {
       val dfLookup = typedlit(meta.dfs.map { case (t, d) => t -> d.toDouble })
+      val clauseDf = clausePairs.toDF("term", "clause", "isMust")
       Some(matches(qTerms).toDF()
         .join(dlLookup(meta), Seq("docId"))
         .withColumn("df", element_at(dfLookup, col("term")))
+        .join(broadcast(clauseDf), Seq("term"))
         .select(
-          concat(lit("t:"), col("term")).as("clause"),
+          col("clause"),
           col("docId"),
           sc.contributionCol(col("tf").cast("double"), col("df"), col("dl"), st)
             .as("tscore"),
-          array_contains(typedlit(mustTermSet.toSeq.sorted), col("term"))
-            .as("isMust")))
+          col("isMust")))
     }
     // phrase clause rows: one pruned positional match set per clause;
     // df = live docs containing the phrase (same contract as phraseTopK)
@@ -925,18 +997,25 @@ final class Searcher(
     }
     val allRows = (termRows.toSeq ++ phraseRows.map(_._1)).reduce(_ union _)
 
-    val nMustClauses = mustTermSet.size + pq.mustPhrases.size
+    val nMustClauses = mustTermSet.size + pq.mustPhrases.size + mustGroups.size
     // docFactor inputs are order-free sums over per-clause dfs
     val queryDfs =
       qTerms.map(t => meta.dfs.getOrElse(t, 0L).toDouble) ++ phraseRows.map(_._2)
     val factorUdf = udf((n: Int) => sc.docFactor(n, queryDfs, st))
 
+    // clause-match counts are over DISTINCT clause labels: a group
+    // matching through two member terms is still ONE matched clause
+    // (its rows still each add score — Lucene sums the rewritten
+    // disjunction's sub-scorers)
     val perDoc = allRows.groupBy("docId")
       .agg(sort_array(collect_list(
         struct(col("clause"), col("tscore"), col("isMust")))).as("cs"))
-      .withColumn("nMatched", size(col("cs")))
+      .withColumn("nMatched", size(array_distinct(
+        transform(col("cs"), x => x.getField("clause")))))
       .withColumn("nMust",
-        size(filter(col("cs"), x => x.getField("isMust"))))
+        size(array_distinct(transform(
+          filter(col("cs"), x => x.getField("isMust")),
+          x => x.getField("clause")))))
       .withColumn("rawScore",
         aggregate(col("cs"), lit(0.0), (acc, x) => acc + x.getField("tscore")))
       .drop("cs")
@@ -985,16 +1064,8 @@ final class Searcher(
       maxExpansions: Int = 1024): DataFrame = {
     require(pattern.exists(c => c != '*' && c != '?'),
       s"wildcard pattern '$pattern' has no literal characters")
-    val litPrefix = pattern.takeWhile(c => c != '*' && c != '?')
-    val rx = "^" + pattern.map {
-      case '*' => ".*"
-      case '?' => "."
-      case c => java.util.regex.Pattern.quote(c.toString)
-    }.mkString + "$"
-    val pred =
-      if (litPrefix.isEmpty) col("term").rlike(rx)
-      else col("term").startsWith(litPrefix) && col("term").rlike(rx)
-    val ts = expandTerms(pred, s"wildcard '$pattern'", maxExpansions)
+    val ts = expandTerms(wildcardPred(pattern), s"wildcard '$pattern'",
+      maxExpansions)
     if (ts.isEmpty) emptyHits else topKWand(ts, k, scorer)
   }
 

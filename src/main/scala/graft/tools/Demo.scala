@@ -82,6 +82,7 @@ object Demo {
       Seq(terms.head), terms(1).take(2), 5))
     show("dismax  ", s.dismaxTopK(terms :+ "window", 5, tieBreaker = 0.3))
     show("spanfst ", s.spanFirstTopK(terms.head, 5, 3))
+    show("qexpand ", s.search(s"+${terms.head.take(2)}* ${terms(1)}", 5))
     // SQL surface: native analyzer expressions
     graft.sql.GraftFunctions.register(spark)
     show("sql     ", spark.sql(

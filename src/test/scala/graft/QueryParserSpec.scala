@@ -64,12 +64,18 @@ class QueryParserSpec extends AnyFunSuite {
   }
 
   test("clause text runs through the index analyzer (case, punctuation, splits)") {
-    val pq = p("+Spark, -Window?")
+    val pq = p("+Spark, -Window.")
     assert(pq.must === Seq("spark"))
     assert(pq.mustNot === Seq("window"))
     // one clause analyzing to several terms keeps the clause's occur
     // (the standard analyzer keeps snake_case whole but splits on '.')
     assert(p("+foo.bar").must === Seq("foo", "bar"))
+    // '?' is NOT stripped punctuation — it is Lucene wildcard syntax
+    // (the round-5 expansion clauses), so `-Window?` prohibits the
+    // wildcard's expansion, not the bare term
+    import graft.query.{ExpansionClause, ExpansionKind}
+    assert(p("+Spark -Window?").notExpansions ===
+      Seq(ExpansionClause(ExpansionKind.Wildcard, "window?")))
   }
 
   test("degenerate inputs: empty, operators only, stopword-ish empties, duplicates") {
