@@ -49,6 +49,7 @@ object SparkEntry {
     "dismax_topk" -> ((s, d) => E.dismax(s, d)),
     "span_first" -> ((s, d) => E.spanFirst(s, d)),
     "qstring_expansion" -> ((s, d) => E.qstringExpansion(s, d)),
+    "bm25_boosted" -> ((s, d) => E.bm25Boosted(s, d)),
     "sort_topk" -> ((s, d) => E.sortTopK(s, d)),
     "sort_topk2" -> ((s, d) => E.sortTopK2(s, d)),
     "term_vector" -> ((s, d) => E.termVector(s, d, 3L)),

@@ -137,6 +137,13 @@ object EngineQueries {
   def qstringExpansion(s: SparkSession, dir: String): DataFrame =
     asTopK(searcher(s, dir).search("+s* dup", 10))
 
+  /** Per-term query boosts (Lucene TermQuery.setBoost inside a
+    * BooleanQuery): 'merge' weighted 3x on the WAND path - the boost
+    * scales contributions AND the pruning bounds. */
+  def bm25Boosted(s: SparkSession, dir: String): DataFrame =
+    asTopK(searcher(s, dir).topKWand(Seq("spark", "merge"), 10,
+      boosts = Map("merge" -> 3.0)))
+
   /** Span-first (Lucene SpanFirstQuery): 'spark' within the first 5
     * analyzer positions, scored as a pseudo-term over qualifying
     * occurrences. */

@@ -194,7 +194,8 @@ final class Searcher(
       requireAll: Boolean = false,
       mustNot: Seq[String] = Nil,
       must: Seq[String] = Nil,
-      minShouldMatch: Int = 0): DataFrame = {
+      minShouldMatch: Int = 0,
+      boosts: Map[String, Double] = Map.empty): DataFrame = {
     // `must` — Lucene BooleanQuery mixed MUST + SHOULD (ReqOptSumScorer):
     // a hit needs EVERY must term; the remaining (should) terms add
     // score when present. must terms score too, so they join the query
@@ -205,11 +206,17 @@ final class Searcher(
     val queryDfs = qTerms.map(t => dfs.getOrElse(t, 0L).toDouble)
     val dfLookup = typedlit(dfs.map { case (t, d) => t -> d.toDouble })
 
+    // per-term query boost (Lucene TermQuery.setBoost): scales the
+    // term's contribution; absent terms default to 1
+    val boostCol =
+      if (boosts.isEmpty) lit(1.0)
+      else coalesce(element_at(typedlit(boosts), col("term")), lit(1.0))
     val m = matches(qTerms).toDF()
       .join(dlLookup(meta), Seq("docId"))
       .withColumn("df", element_at(dfLookup, col("term")))
       .withColumn("tscore",
-        scorer.contributionCol(col("tf").cast("double"), col("df"), col("dl"), stats))
+        boostCol * scorer.contributionCol(
+          col("tf").cast("double"), col("df"), col("dl"), stats))
 
     val mustArr = must.distinct.sorted
     // Lucene setMinimumNumberShouldMatch: mm counts OPTIONAL clauses
@@ -265,8 +272,9 @@ final class Searcher(
       requireAll: Boolean = false,
       mustNot: Seq[String] = Nil,
       must: Seq[String] = Nil,
-      minShouldMatch: Int = 0): DataFrame =
-    scoredDocs(terms, scorer, requireAll, mustNot, must, minShouldMatch)
+      minShouldMatch: Int = 0,
+      boosts: Map[String, Double] = Map.empty): DataFrame =
+    scoredDocs(terms, scorer, requireAll, mustNot, must, minShouldMatch, boosts)
       .orderBy(desc("score"), asc("docId"))
       .limit(k)
       .select("docId", "score")
@@ -376,7 +384,8 @@ final class Searcher(
       requireAll: Boolean = false,
       mustNot: Seq[String] = Nil,
       must: Seq[String] = Nil,
-      minShouldMatch: Int = 0): DataFrame = {
+      minShouldMatch: Int = 0,
+      boosts: Map[String, Double] = Map.empty): DataFrame = {
     // `must` — mixed MUST + SHOULD (Lucene ReqOptSumScorer): the Wand
     // kernel leapfrogs the must iterators and treats the rest as
     // score-only optionals. must == all terms degenerates to the AND
@@ -410,6 +419,7 @@ final class Searcher(
     val allMustB = allMust
     val mustSet: Set[String] = if (mustArr.isEmpty) null else mustArr.toSet
     val mmB = mm // closure-local: Searcher itself is not serializable
+    val boostsB = boosts
 
     // Only shards that actually hold postings for the query's REQUIRED
     // terms can produce hits — and in AND mode only shards holding
@@ -438,9 +448,10 @@ final class Searcher(
           ds.foreach { case (d, dl, _) => dlMap.update(d, dl) }
           def mkIter(r: PostingRow): TermIterator = {
             val df = dfs.getOrElse(r.term, 0L).toDouble
+            val b = boostsB.getOrElse(r.term, 1.0)
             new TermIterator(r.term, df,
-              scorerB.upperBound(r.maxTf.toDouble, df, st), scorerB, st,
-              new PostingsCodec.BlobView(r.blob))
+              b * scorerB.upperBound(r.maxTf.toDouble, df, st), scorerB, st,
+              new PostingsCodec.BlobView(r.blob), boost = b)
           }
           // NaN = "not live" (deleted or unknown): Wand skips the doc
           Wand.topK(rows.map(mkIter).toSeq, d => dlMap.getOrElse(d, Double.NaN),

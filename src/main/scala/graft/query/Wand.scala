@@ -16,10 +16,14 @@ import graft.model.{CorpusStats, PostingBlock, ScoredDoc}
 final class TermIterator(
     val term: String,
     val df: Double,
-    val ub: Double, // term-level score upper bound
+    val ub: Double, // term-level score upper bound (boost INCLUDED)
     scorer: Scorer,
     stats: CorpusStats,
-    view: PostingsCodec.BlobView) {
+    view: PostingsCodec.BlobView,
+    /** Per-term query boost (Lucene TermQuery.setBoost inside a
+      * BooleanQuery): scales this term's contributions AND its block
+      * bounds; callers must fold it into `ub` too. */
+    val boost: Double = 1.0) {
 
   /** Convenience for callers holding standalone blocks (tests/tools). */
   def this(term: String, df: Double, ub: Double, scorer: Scorer,
@@ -65,7 +69,7 @@ final class TermIterator(
   /** Upper bound within the current block (block-max). */
   def blockUb: Double =
     if (exhausted) 0.0
-    else scorer.upperBound(view.blockMaxTf(bi).toDouble, df, stats)
+    else boost * scorer.upperBound(view.blockMaxTf(bi).toDouble, df, stats)
 
   def next(): Unit = {
     if (exhausted) return
@@ -266,7 +270,7 @@ object Wand {
               i = 0
               while (i < byTerm.length) { // byTerm is term-ascending: fixed order
                 val it = byTerm(i)
-                score += scorer.contribution(it.curTf.toDouble, it.df, dl, stats)
+                score += it.boost * scorer.contribution(it.curTf.toDouble, it.df, dl, stats)
                 i += 1
               }
               score *= scorer.docFactor(nTerms, queryDfs, stats)
@@ -335,7 +339,7 @@ object Wand {
                 if (!reqSet(it.term) && !it.exhausted && it.curDoc < maxDoc)
                   it.advanceTo(maxDoc) // optionals advance lazily, forward-only
                 if (!it.exhausted && it.curDoc == maxDoc) {
-                  score += scorer.contribution(it.curTf.toDouble, it.df, dl, stats)
+                  score += it.boost * scorer.contribution(it.curTf.toDouble, it.df, dl, stats)
                   m += 1
                 }
                 t += 1
@@ -403,7 +407,7 @@ object Wand {
               while (t < byTerm.length) {
                 val it = byTerm(t)
                 if (!it.exhausted && it.curDoc == pivotDoc) {
-                  val c = scorer.contribution(it.curTf.toDouble, it.df, dl, stats)
+                  val c = it.boost * scorer.contribution(it.curTf.toDouble, it.df, dl, stats)
                   sum += c
                   if (c > maxC) maxC = c
                   m += 1

@@ -83,6 +83,7 @@ object Demo {
     show("dismax  ", s.dismaxTopK(terms :+ "window", 5, tieBreaker = 0.3))
     show("spanfst ", s.spanFirstTopK(terms.head, 5, 3))
     show("qexpand ", s.search(s"+${terms.head.take(2)}* ${terms(1)}", 5))
+    show("tboost  ", s.topKWand(terms, 5, boosts = Map(terms(1) -> 3.0)))
     // SQL surface: native analyzer expressions
     graft.sql.GraftFunctions.register(spark)
     show("sql     ", spark.sql(

@@ -190,6 +190,44 @@ class SlopMmSpec extends AnyFunSuite {
     }
   }
 
+  // ---- per-term query boosts ----
+
+  test("per-term boosts: WAND ≡ exhaustive; boost 1 is a no-op; boosts re-rank") {
+    val corpus = randomDocs(150, 83L)
+    val terms = Seq("alpha", "beta", "kappa")
+    val boosts = Map("beta" -> 3.0, "kappa" -> 0.5)
+    for (shardSize <- Seq(16L, 1024L); mode <- Seq("or", "and", "reqopt")) {
+      val idx = index(corpus, shardSize)
+      val s = new Searcher(spark, idx)
+      val n = idx.stats.numDocs.toInt
+      def call(b: Map[String, Double]) = mode match {
+        case "or" => (s.topKWand(terms, n, boosts = b),
+          s.topK(terms, n, boosts = b))
+        case "and" => (s.topKWand(terms, n, requireAll = true, boosts = b),
+          s.topK(terms, n, requireAll = true, boosts = b))
+        case _ => (s.topKWand(terms, n, must = Seq("alpha"), boosts = b),
+          s.topK(terms, n, must = Seq("alpha"), boosts = b))
+      }
+      val (wandDf, exDf) = call(boosts)
+      val (wand, ex) = (hits(wandDf), hits(exDf))
+      assert(wand.map(_._1) === ex.map(_._1), s"shard=$shardSize mode=$mode")
+      wand.zip(ex).foreach { case (a, b) =>
+        assert(math.abs(a._2 - b._2) <= 1e-12 * math.max(1.0, math.abs(b._2)))
+      }
+      // boost ≡ 1 everywhere is exactly the unboosted query
+      val (w1, _) = call(Map("alpha" -> 1.0, "beta" -> 1.0))
+      assert(hits(w1) === hits(call(Map.empty)._1), s"mode=$mode")
+    }
+    // the 3× boost actually re-ranks: the top beta-heavy doc must beat
+    // its unboosted position
+    val idx = index(corpus, 32L)
+    val s = new Searcher(spark, idx)
+    val n = idx.stats.numDocs.toInt
+    val plain = hits(s.topKWand(terms, n)).map(_._1)
+    val boosted = hits(s.topKWand(terms, n, boosts = boosts)).map(_._1)
+    assert(plain !== boosted, "boosts changed nothing — test corpus degenerate")
+  }
+
   // ---- SpanFirstQuery ----
 
   test("span-first: only occurrences within the window count; end=∞ ≡ single-term") {
