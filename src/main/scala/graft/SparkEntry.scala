@@ -50,6 +50,7 @@ object SparkEntry {
     "span_first" -> ((s, d) => E.spanFirst(s, d)),
     "qstring_expansion" -> ((s, d) => E.qstringExpansion(s, d)),
     "bm25_boosted" -> ((s, d) => E.bm25Boosted(s, d)),
+    "bm25_filtered" -> ((s, d) => E.bm25Filtered(s, d)),
     "sort_topk" -> ((s, d) => E.sortTopK(s, d)),
     "sort_topk2" -> ((s, d) => E.sortTopK2(s, d)),
     "term_vector" -> ((s, d) => E.termVector(s, d, 3L)),

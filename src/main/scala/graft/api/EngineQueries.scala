@@ -137,6 +137,14 @@ object EngineQueries {
   def qstringExpansion(s: SparkSession, dir: String): DataFrame =
     asTopK(searcher(s, dir).search("+s* dup", 10))
 
+  /** Doc-filtered search (the Lucene Filter parameter of the
+    * reference's own entry point, HBaseIndexSearcher.java:61): 'spark'
+    * restricted to lang='en' docs; candidates narrow, scores and idf
+    * stay corpus-wide. */
+  def bm25Filtered(s: SparkSession, dir: String): DataFrame =
+    asTopK(searcher(s, dir).topK(Seq("spark"), 10,
+      docFilter = Some(col("lang") === "en")))
+
   /** Per-term query boosts (Lucene TermQuery.setBoost inside a
     * BooleanQuery): 'merge' weighted 3x on the WAND path - the boost
     * scales contributions AND the pruning bounds. */

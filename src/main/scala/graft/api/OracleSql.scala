@@ -318,6 +318,12 @@ SELECT doc_id, round(s, 4) AS score FROM scored
 WHERE doc_id IN (SELECT DISTINCT doc_id FROM emitted WHERE term LIKE 's%')
 ORDER BY s DESC, doc_id LIMIT 10"""),
 
+    // doc filter: corpus-wide scoring, lang='en' candidate narrowing
+    "bm25_filtered" -> (TOK + bm25Scored(Seq("spark")) + """
+SELECT s.doc_id, round(s.s, 4) AS score FROM scored s
+JOIN documents d USING (doc_id) WHERE d.lang = 'en'
+ORDER BY s.s DESC, s.doc_id LIMIT 10"""),
+
     // per-term boost: 'merge' x3 inside a two-term OR
     "bm25_boosted" -> (TOK + """
 , tfq AS (

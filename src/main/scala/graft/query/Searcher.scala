@@ -115,8 +115,19 @@ final class Searcher(
     * propagates through the join's equality constraint to the deletes
     * side too. Stats/df stay stale until physical apply (Lucene delete
     * semantics; Deletes.applied / compaction refreshes them). */
-  private def dlWithShard: DataFrame = {
-    val base = index.docs
+  private def dlWithShard: DataFrame = dlWithShard(None)
+
+  /** `docFilter` — the Lucene Filter parameter of the reference's own
+    * search entry (HBaseIndexSearcher.java:61 `search(weight, filter,
+    * nDocs, ...)`): an arbitrary predicate over the stored docs table
+    * (e.g. `col("lang") === "en"`). Applied to the LIVE dl side, so a
+    * filtered-out doc disappears from every scoring path exactly like
+    * a tombstone — WAND θ-pruning stays sound (removal only). Corpus
+    * stats and df stay corpus-wide, Lucene filter semantics (a filter
+    * narrows the candidate set, never re-weights idf). */
+  private def dlWithShard(docFilter: Option[org.apache.spark.sql.Column]): DataFrame = {
+    val src = docFilter.map(index.docs.where).getOrElse(index.docs)
+    val base = src
       .select(col("docId"), col("dl").cast("double").as("dl"))
       .withColumn("shard",
         (col("docId") / lit(index.config.shardSizeDocs)).cast("long"))
@@ -140,9 +151,10 @@ final class Searcher(
     * extra job — not the corpus-wide numDocs, so a selective query on
     * an arbitrarily large corpus still broadcasts while an every-shard
     * query near the gate never ships a ~200 MB copy to the driver. */
-  private def dlLookup(meta: QueryMeta): DataFrame = {
+  private def dlLookup(meta: QueryMeta,
+      docFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val prunedBytes = meta.shards.length.toLong * index.config.shardSizeDocs * 16L
-    val slim = pruneShards(dlWithShard, meta.shards).select("docId", "dl")
+    val slim = pruneShards(dlWithShard(docFilter), meta.shards).select("docId", "dl")
     if (prunedBytes <= dlBroadcastBytes) broadcast(slim) else slim
   }
 
@@ -195,7 +207,8 @@ final class Searcher(
       mustNot: Seq[String] = Nil,
       must: Seq[String] = Nil,
       minShouldMatch: Int = 0,
-      boosts: Map[String, Double] = Map.empty): DataFrame = {
+      boosts: Map[String, Double] = Map.empty,
+      docFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     // `must` — Lucene BooleanQuery mixed MUST + SHOULD (ReqOptSumScorer):
     // a hit needs EVERY must term; the remaining (should) terms add
     // score when present. must terms score too, so they join the query
@@ -212,7 +225,7 @@ final class Searcher(
       if (boosts.isEmpty) lit(1.0)
       else coalesce(element_at(typedlit(boosts), col("term")), lit(1.0))
     val m = matches(qTerms).toDF()
-      .join(dlLookup(meta), Seq("docId"))
+      .join(dlLookup(meta, docFilter), Seq("docId"))
       .withColumn("df", element_at(dfLookup, col("term")))
       .withColumn("tscore",
         boostCol * scorer.contributionCol(
@@ -273,8 +286,10 @@ final class Searcher(
       mustNot: Seq[String] = Nil,
       must: Seq[String] = Nil,
       minShouldMatch: Int = 0,
-      boosts: Map[String, Double] = Map.empty): DataFrame =
-    scoredDocs(terms, scorer, requireAll, mustNot, must, minShouldMatch, boosts)
+      boosts: Map[String, Double] = Map.empty,
+      docFilter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    scoredDocs(terms, scorer, requireAll, mustNot, must, minShouldMatch,
+      boosts, docFilter)
       .orderBy(desc("score"), asc("docId"))
       .limit(k)
       .select("docId", "score")
@@ -385,7 +400,8 @@ final class Searcher(
       mustNot: Seq[String] = Nil,
       must: Seq[String] = Nil,
       minShouldMatch: Int = 0,
-      boosts: Map[String, Double] = Map.empty): DataFrame = {
+      boosts: Map[String, Double] = Map.empty,
+      docFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     // `must` — mixed MUST + SHOULD (Lucene ReqOptSumScorer): the Wand
     // kernel leapfrogs the must iterators and treats the rest as
     // score-only optionals. must == all terms degenerates to the AND
@@ -434,7 +450,7 @@ final class Searcher(
       else meta.shardsWith(qTerms)
     val prows = pruneShards(postingRows(qTerms ++ exTerms).toDF(), touched)
       .as[PostingRow].groupByKey(_.shard)
-    val dls = pruneShards(dlWithShard, touched)
+    val dls = pruneShards(dlWithShard(docFilter), touched)
       .select(col("docId"), col("dl"), col("shard"))
       .as[(Long, Double, Long)]
       .groupByKey(_._3)

@@ -84,6 +84,8 @@ object Demo {
     show("spanfst ", s.spanFirstTopK(terms.head, 5, 3))
     show("qexpand ", s.search(s"+${terms.head.take(2)}* ${terms(1)}", 5))
     show("tboost  ", s.topKWand(terms, 5, boosts = Map(terms(1) -> 3.0)))
+    show("filtered", s.topKWand(terms, 5,
+      docFilter = Some(org.apache.spark.sql.functions.col("lang") === "en")))
     // SQL surface: native analyzer expressions
     graft.sql.GraftFunctions.register(spark)
     show("sql     ", spark.sql(

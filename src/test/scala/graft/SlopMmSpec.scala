@@ -190,6 +190,38 @@ class SlopMmSpec extends AnyFunSuite {
     }
   }
 
+  // ---- doc filter (the reference's Lucene Filter parameter) ----
+
+  test("docFilter: candidates narrow like tombstones, scores untouched, paths agree") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val idx = index(randomDocs(150, 113L), shardSize = 32L)
+    val s = new Searcher(spark, idx)
+    val n = idx.stats.numDocs.toInt
+    val terms = Seq("alpha", "kappa")
+    val even = Some(col("docId") % 2 === 0)
+    for (mode <- Seq("or", "and")) {
+      def call(wand: Boolean) =
+        if (wand) s.topKWand(terms, n, requireAll = mode == "and", docFilter = even)
+        else s.topK(terms, n, requireAll = mode == "and", docFilter = even)
+      val wand = hits(call(true))
+      val ex = hits(call(false))
+      assert(wand === ex, s"mode=$mode")
+      assert(wand.nonEmpty && wand.forall(_._1 % 2 == 0), s"mode=$mode")
+      // Lucene filter semantics: the filter narrows candidates but does
+      // NOT re-weight — surviving docs keep their unfiltered scores
+      val unfiltered = hits(
+        if (mode == "and") s.topKWand(terms, n, requireAll = true)
+        else s.topKWand(terms, n)).toMap
+      wand.foreach { case (d, sc) =>
+        assert(math.abs(sc - unfiltered(d)) <= 1e-12 * math.max(1.0, math.abs(sc)))
+      }
+      assert(wand.size < unfiltered.size, "filter removed nothing — degenerate")
+    }
+    // all-false filter → no hits on either path
+    assert(s.topKWand(terms, n, docFilter = Some(lit(false))).count() === 0L)
+    assert(s.topK(terms, n, docFilter = Some(lit(false))).count() === 0L)
+  }
+
   // ---- per-term query boosts ----
 
   test("per-term boosts: WAND ≡ exhaustive; boost 1 is a no-op; boosts re-rank") {
