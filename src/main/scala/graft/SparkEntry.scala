@@ -51,6 +51,7 @@ object SparkEntry {
     "qstring_expansion" -> ((s, d) => E.qstringExpansion(s, d)),
     "bm25_boosted" -> ((s, d) => E.bm25Boosted(s, d)),
     "bm25_filtered" -> ((s, d) => E.bm25Filtered(s, d)),
+    "qstring_boost" -> ((s, d) => E.qstringBoost(s, d)),
     "sort_topk" -> ((s, d) => E.sortTopK(s, d)),
     "sort_topk2" -> ((s, d) => E.sortTopK2(s, d)),
     "term_vector" -> ((s, d) => E.termVector(s, d, 3L)),

@@ -137,6 +137,10 @@ object EngineQueries {
   def qstringExpansion(s: SparkSession, dir: String): DataFrame =
     asTopK(searcher(s, dir).search("+s* dup", 10))
 
+  /** Clause boost through the classic syntax: `spark^2 merge`. */
+  def qstringBoost(s: SparkSession, dir: String): DataFrame =
+    asTopK(searcher(s, dir).search("spark^2 merge", 10))
+
   /** Doc-filtered search (the Lucene Filter parameter of the
     * reference's own entry point, HBaseIndexSearcher.java:61): 'spark'
     * restricted to lang='en' docs; candidates narrow, scores and idf

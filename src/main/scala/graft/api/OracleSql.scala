@@ -318,6 +318,27 @@ SELECT doc_id, round(s, 4) AS score FROM scored
 WHERE doc_id IN (SELECT DISTINCT doc_id FROM emitted WHERE term LIKE 's%')
 ORDER BY s DESC, doc_id LIMIT 10"""),
 
+    // parser clause boost "spark^2 merge"
+    "qstring_boost" -> (TOK + """
+, tfq AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM emitted
+  WHERE term IN ('spark', 'merge') GROUP BY 1, 2),
+dfq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM
+    (SELECT DISTINCT doc_id, term FROM emitted
+     WHERE term IN ('spark', 'merge'))
+  GROUP BY 1),
+scored AS (
+  SELECT t.doc_id,
+         sum((CASE WHEN t.term = 'spark' THEN 2.0 ELSE 1.0 END)
+             * ln(1.0 + (co.n - f.df + 0.5) / (f.df + 0.5))
+             * t.tf / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / co.avgdl))) AS s
+  FROM tfq t JOIN dfq f USING (term) JOIN dl d USING (doc_id)
+  CROSS JOIN corpus co
+  GROUP BY 1)
+SELECT doc_id, round(s, 4) AS score FROM scored
+ORDER BY s DESC, doc_id LIMIT 10"""),
+
     // doc filter: corpus-wide scoring, lang='en' candidate narrowing
     "bm25_filtered" -> (TOK + bm25Scored(Seq("spark")) + """
 SELECT s.doc_id, round(s.s, 4) AS score FROM scored s

@@ -9,7 +9,8 @@ import graft.analysis.TextAnalyzer
   * span exceeds the exact span by at most `slop` (an in-order window —
   * see Searcher.phraseTopK for the contract vs Lucene's
   * SloppyPhraseScorer, which additionally allows reordering). */
-final case class PhraseClause(slots: Seq[String], slop: Int = 0)
+final case class PhraseClause(slots: Seq[String], slop: Int = 0,
+    boost: Double = 1.0)
 
 /** One multi-term (expansion) clause from the classic syntax: `sp*`
   * (prefix), `te?t` / `s*k` (wildcard), `roam~` / `roam~1` (fuzzy,
@@ -18,7 +19,7 @@ final case class PhraseClause(slots: Seq[String], slop: Int = 0)
   * dictionary expansion happens at search time (Searcher resolves
   * each into its matching terms, TooManyClauses-bounded). */
 final case class ExpansionClause(kind: ExpansionKind, pattern: String,
-    maxEdits: Int = 2)
+    maxEdits: Int = 2, boost: Double = 1.0)
 sealed trait ExpansionKind
 object ExpansionKind {
   case object Prefix extends ExpansionKind
@@ -41,7 +42,12 @@ final case class ParsedQuery(
     notPhrases: Seq[PhraseClause] = Nil,
     mustExpansions: Seq[ExpansionClause] = Nil,
     shouldExpansions: Seq[ExpansionClause] = Nil,
-    notExpansions: Seq[ExpansionClause] = Nil) {
+    notExpansions: Seq[ExpansionClause] = Nil,
+    /** Per-TERM boosts from `term^N` suffixes (Lucene clause boosts;
+      * a term appearing twice with different boosts keeps the LAST —
+      * this engine folds duplicate term clauses into one). Phrase and
+      * expansion clauses carry their boost on the clause itself. */
+    boosts: Map[String, Double] = Map.empty) {
   def isEmpty: Boolean =
     must.isEmpty && should.isEmpty && mustNot.isEmpty &&
       mustPhrases.isEmpty && shouldPhrases.isEmpty && notPhrases.isEmpty &&
@@ -104,11 +110,11 @@ object QueryParser {
     * punctuation downstream anyway.
     */
   def parse(query: String, analyzer: TextAnalyzer): ParsedQuery = {
-    // (occur, text, isPhrase, slop, expansion-or-null) in input order —
-    // occur is re-written by a following AND, so buckets form only
-    // after the full scan
+    // (occur, text, isPhrase, slop, expansion-or-null, boost) in input
+    // order — occur is re-written by a following AND, so buckets form
+    // only after the full scan
     val clauses =
-      scala.collection.mutable.ArrayBuffer.empty[(Int, String, Boolean, Int, ExpansionClause)]
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, Boolean, Int, ExpansionClause, Double)]
     var conjAnd = false // a pending AND applies to the NEXT clause
     var mod = -1 // pending +/-/NOT modifier for the next clause
     var i = 0
@@ -120,7 +126,7 @@ object QueryParser {
         val end = query.indexOf('"', i + 1)
         val (text, afterQuote) =
           if (end < 0) (query.substring(i + 1), n) else (query.substring(i + 1, end), end + 1)
-        // optional `~N` slop suffix directly after the closing quote
+        // optional `~N` slop then `^F` boost suffixes after the quote
         var next = afterQuote
         var slop = 0
         if (next < n && query.charAt(next) == '~') {
@@ -131,7 +137,17 @@ object QueryParser {
             next = j
           } else next = j // bare '~': ignored (Lucene lenient parse)
         }
-        addClause(clauses, conjAnd, mod, text, isPhrase = true, slop = slop)
+        var boost = 1.0
+        if (next < n && query.charAt(next) == '^') {
+          var j = next + 1
+          while (j < n && (query.charAt(j).isDigit || query.charAt(j) == '.')) j += 1
+          if (j > next + 1) {
+            boost = query.substring(next + 1, j).toDouble
+            next = j
+          } else next = j
+        }
+        addClause(clauses, conjAnd, mod, text, isPhrase = true, slop = slop,
+          boost = boost)
         conjAnd = false; mod = -1
         i = next
       } else if ((c == '+' || c == '-' || c == '!') && i + 1 < n &&
@@ -147,8 +163,12 @@ object QueryParser {
           case "OR" | "||" if mod < 0 => conjAnd = false
           case "NOT" if mod < 0 => mod = NOT
           case _ =>
-            addClause(clauses, conjAnd, mod, word, isPhrase = false,
-              exp = classifyExpansion(word))
+            val (bare, boost) = word match {
+              case BoostRx(b, f) => (b, f.toDouble)
+              case _ => (word, 1.0)
+            }
+            addClause(clauses, conjAnd, mod, bare, isPhrase = false,
+              exp = classifyExpansion(bare), boost = boost)
             conjAnd = false; mod = -1
         }
         i = j
@@ -164,11 +184,15 @@ object QueryParser {
     val mustE = Seq.newBuilder[ExpansionClause]
     val shouldE = Seq.newBuilder[ExpansionClause]
     val notE = Seq.newBuilder[ExpansionClause]
-    clauses.foreach { case (occur, text, isPhrase, slop, exp) =>
-      if (exp != null) occur match {
-        case MUST => mustE += exp
-        case NOT => notE += exp
-        case _ => shouldE += exp
+    val termBoosts = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    clauses.foreach { case (occur, text, isPhrase, slop, exp, boost) =>
+      if (exp != null) {
+        val e = if (boost == 1.0) exp else exp.copy(boost = boost)
+        occur match {
+          case MUST => mustE += e
+          case NOT => notE += e
+          case _ => shouldE += e
+        }
       } else {
         val slots = {
           val b = Seq.newBuilder[String]
@@ -177,14 +201,15 @@ object QueryParser {
         }
         if (slots.nonEmpty) {
           if (isPhrase && slots.length > 1) occur match {
-            case MUST => mustP += PhraseClause(slots, slop)
-            case NOT => notP += PhraseClause(slots, slop)
-            case _ => shouldP += PhraseClause(slots, slop)
+            case MUST => mustP += PhraseClause(slots, slop, boost)
+            case NOT => notP += PhraseClause(slots, slop, boost)
+            case _ => shouldP += PhraseClause(slots, slop, boost)
           } else occur match { // 1-slot phrase degrades to its term clause
             case MUST => must ++= slots
             case NOT => not ++= slots
             case _ => should ++= slots
           }
+          if (!isPhrase && boost != 1.0) slots.foreach(termBoosts(_) = boost)
         }
       }
     }
@@ -192,10 +217,11 @@ object QueryParser {
       not.result().distinct, mustP.result().distinct,
       shouldP.result().distinct, notP.result().distinct,
       mustE.result().distinct, shouldE.result().distinct,
-      notE.result().distinct)
+      notE.result().distinct, termBoosts.toMap)
   }
 
   private val FuzzyRx = "^([^*?~]+)~([0-9]*)$".r
+  private val BoostRx = "^(.+)\\^([0-9]+(?:\\.[0-9]+)?)$".r
 
   /** Classify a raw clause word as a multi-term (expansion) clause per
     * the classic syntax: trailing `~`/`~N` → fuzzy, a single trailing
@@ -223,22 +249,24 @@ object QueryParser {
     * modifier already decided its occur.
     */
   private def addClause(
-      clauses: scala.collection.mutable.ArrayBuffer[(Int, String, Boolean, Int, ExpansionClause)],
+      clauses: scala.collection.mutable.ArrayBuffer[(Int, String, Boolean, Int, ExpansionClause, Double)],
       conjAnd: Boolean,
       mod: Int,
       text: String,
       isPhrase: Boolean,
       slop: Int = 0,
-      exp: ExpansionClause = null): Unit = {
+      exp: ExpansionClause = null,
+      boost: Double = 1.0): Unit = {
     if (conjAnd && clauses.nonEmpty) {
-      val (prevOccur, prevText, prevPhrase, prevSlop, prevExp) = clauses.last
+      val (prevOccur, prevText, prevPhrase, prevSlop, prevExp, prevBoost) = clauses.last
       if (prevOccur == SHOULD)
-        clauses(clauses.length - 1) = (MUST, prevText, prevPhrase, prevSlop, prevExp)
+        clauses(clauses.length - 1) =
+          (MUST, prevText, prevPhrase, prevSlop, prevExp, prevBoost)
     }
     val occur =
       if (mod >= 0) mod
       else if (conjAnd) MUST
       else SHOULD
-    clauses += ((occur, text, isPhrase, slop, exp))
+    clauses += ((occur, text, isPhrase, slop, exp, boost))
   }
 }

@@ -780,8 +780,9 @@ final class Searcher(
       sortCol: String,
       ascending: Boolean,
       k: Int,
-      scorer: Scorer = BM25()): DataFrame =
-    sortedTopKMulti(terms, Seq((sortCol, ascending)), k, scorer)
+      scorer: Scorer = BM25(),
+      docFilter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    sortedTopKMulti(terms, Seq((sortCol, ascending)), k, scorer, docFilter)
 
   /** Multi-key field sort — EXCEEDS the reference, which throws on
     * more than one sort field (HBaseIndexSearcher.java:95-97): each
@@ -792,9 +793,12 @@ final class Searcher(
       terms: Seq[String],
       sortCols: Seq[(String, Boolean)],
       k: Int,
-      scorer: Scorer = BM25()): DataFrame = {
+      scorer: Scorer = BM25(),
+      docFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    // filter + sort together = the reference's full C5 entry signature
+    // (HBaseIndexSearcher.search(weight, filter, nDocs, sort))
     require(sortCols.nonEmpty, "at least one sort key required")
-    val scored = scoredDocs(terms, scorer)
+    val scored = scoredDocs(terms, scorer, docFilter = docFilter)
     val joined = scored.join(
       index.docs.select((Seq("docId") ++ sortCols.map(_._1)).distinct.map(col): _*),
       Seq("docId"))
@@ -922,17 +926,26 @@ final class Searcher(
     // terms. An empty MUST expansion matches nothing (a required
     // clause rewrote to the empty query); single-term groups degrade
     // to plain MUST terms.
-    val shouldAll =
-      (raw.should ++ raw.shouldExpansions.flatMap(expandClause(_))).distinct
+    val shouldExpanded = raw.shouldExpansions.map(e => (expandClause(e), e.boost))
+    val shouldAll = (raw.should ++ shouldExpanded.flatMap(_._1)).distinct
     val notAll =
       (raw.mustNot ++ raw.notExpansions.flatMap(expandClause(_))).distinct
-    val groupsAll = raw.mustExpansions.map(e => expandClause(e).distinct)
-    if (groupsAll.exists(_.isEmpty)) return emptyHits
-    val (singleGroups, multiGroups) = groupsAll.partition(_.size == 1)
+    val groupsExpanded = raw.mustExpansions.map(e => (expandClause(e).distinct, e.boost))
+    if (groupsExpanded.exists(_._1.isEmpty)) return emptyHits
+    val (singleGroups, multiGroupsB) = groupsExpanded.partition(_._1.size == 1)
+    val multiGroups = multiGroupsB.map(_._1)
+    // clause boosts (`term^N`, `sp*^N`): per-term map fed to both
+    // scoring paths; an expansion clause's boost lands on every term
+    // it expands to (the Lucene rewrite distributes the boost)
+    val allBoosts = raw.boosts ++
+      (shouldExpanded ++ groupsExpanded).flatMap { case (ts, b) =>
+        if (b == 1.0) Nil else ts.map(_ -> b)
+      }.toMap
     val pq = raw.copy(
-      must = (raw.must ++ singleGroups.flatten).distinct,
+      must = (raw.must ++ singleGroups.flatMap(_._1)).distinct,
       should = shouldAll, mustNot = notAll,
-      mustExpansions = Nil, shouldExpansions = Nil, notExpansions = Nil)
+      mustExpansions = Nil, shouldExpansions = Nil, notExpansions = Nil,
+      boosts = allBoosts)
     val phrases = pq.scoringPhrases
     if (!pq.hasScoring && multiGroups.isEmpty) emptyHits
     else if (multiGroups.nonEmpty) {
@@ -940,23 +953,27 @@ final class Searcher(
       // disjunction over the expansion (the group's own rewrite)
       if (multiGroups.length == 1 && pq.must.isEmpty && pq.should.isEmpty &&
           phrases.isEmpty && pq.notPhrases.isEmpty)
-        topKWand(multiGroups.head, k, scorer, mustNot = pq.mustNot)
+        topKWand(multiGroups.head, k, scorer, mustNot = pq.mustNot,
+          boosts = pq.boosts)
       else scoredDocsBoolean(pq, scorer, multiGroups)
         .orderBy(desc("score"), asc("docId")).limit(k)
         .select("docId", "score")
     } else if (phrases.nonEmpty || pq.notPhrases.nonEmpty) {
       // fast path: exactly one scoring phrase and nothing else
       if (phrases.length == 1 && pq.must.isEmpty && pq.should.isEmpty &&
-          pq.mustNot.isEmpty && pq.notPhrases.isEmpty)
-        phraseTopK(phrases.head._1.slots, k, scorer, phrases.head._1.slop)
-      else scoredDocsBoolean(pq, scorer)
+          pq.mustNot.isEmpty && pq.notPhrases.isEmpty) {
+        val pc = phrases.head._1
+        phraseTopK(pc.slots, k,
+          if (pc.boost == 1.0) scorer else Boosted(scorer, pc.boost), pc.slop)
+      } else scoredDocsBoolean(pq, scorer)
         .orderBy(desc("score"), asc("docId")).limit(k)
         .select("docId", "score")
     } else if (pq.must.isEmpty && pq.should.isEmpty) emptyHits
     else if (pq.should.isEmpty)
-      topKWand(pq.must, k, scorer, requireAll = true, mustNot = pq.mustNot)
+      topKWand(pq.must, k, scorer, requireAll = true, mustNot = pq.mustNot,
+        boosts = pq.boosts)
     else topKWand(pq.must ++ pq.should, k, scorer,
-      mustNot = pq.mustNot, must = pq.must)
+      mustNot = pq.mustNot, must = pq.must, boosts = pq.boosts)
   }
 
   /** Boolean query whose clauses mix terms and phrases (Lucene
@@ -994,10 +1011,14 @@ final class Searcher(
         mustGroups.zipWithIndex.flatMap { case (g, i) =>
           g.distinct.map(t => (t, s"g:$i", true))
         }
-    // term clause rows: (clause, docId, tscore, isMust)
+    // term clause rows: (clause, docId, tscore, isMust); per-term
+    // boosts (`term^N` / boosted expansions) scale the contribution
     val termRows: Option[DataFrame] = if (qTerms.isEmpty) None else {
       val dfLookup = typedlit(meta.dfs.map { case (t, d) => t -> d.toDouble })
       val clauseDf = clausePairs.toDF("term", "clause", "isMust")
+      val boostCol =
+        if (pq.boosts.isEmpty) lit(1.0)
+        else coalesce(element_at(typedlit(pq.boosts), col("term")), lit(1.0))
       Some(matches(qTerms).toDF()
         .join(dlLookup(meta), Seq("docId"))
         .withColumn("df", element_at(dfLookup, col("term")))
@@ -1005,8 +1026,8 @@ final class Searcher(
         .select(
           col("clause"),
           col("docId"),
-          sc.contributionCol(col("tf").cast("double"), col("df"), col("dl"), st)
-            .as("tscore"),
+          (boostCol * sc.contributionCol(
+            col("tf").cast("double"), col("df"), col("dl"), st)).as("tscore"),
           col("isMust")))
     }
     // phrase clause rows: one pruned positional match set per clause;
@@ -1018,8 +1039,8 @@ final class Searcher(
         (m.select(
           lit(s"p:$i").as("clause"),
           col("docId"),
-          sc.contributionCol(col("tf").cast("double"), lit(pdf), col("dl"), st)
-            .as("tscore"),
+          (lit(pc.boost) * sc.contributionCol(
+            col("tf").cast("double"), lit(pdf), col("dl"), st)).as("tscore"),
           lit(isMust).as("isMust")), pdf)
     }
     val allRows = (termRows.toSeq ++ phraseRows.map(_._1)).reduce(_ union _)

@@ -106,6 +106,44 @@ class QueryExpansionSpec extends AnyFunSuite {
     assert(s.search("+zz* kappa", 10).count() === 0L)
   }
 
+  test("clause boosts: ^N on terms, phrases and expansions") {
+    import graft.query.PhraseClause
+    def p(q: String) = QueryParser.parse(q, Analyzer)
+    assert(p("spark^2 merge").boosts === Map("spark" -> 2.0))
+    assert(p("spark^2.5").boosts === Map("spark" -> 2.5))
+    assert(p("\"hash join\"^3").shouldPhrases ===
+      Seq(PhraseClause(Seq("hash", "join"), 0, 3.0)))
+    assert(p("\"hash join\"~2^3").shouldPhrases ===
+      Seq(PhraseClause(Seq("hash", "join"), 2, 3.0)))
+    assert(p("sp*^2").shouldExpansions ===
+      Seq(ExpansionClause(ExpansionKind.Prefix, "sp", 2, 2.0)))
+
+    val idx = index(randomDocs(140, 103L))
+    val s = new Searcher(spark, idx)
+    val n = idx.stats.numDocs.toInt
+    // term boost through the parser ≡ the explicit boosts map
+    assert(hits(s.search("alpha^2 kappa", n)) ===
+      hits(s.topKWand(Seq("alpha", "kappa"), n, boosts = Map("alpha" -> 2.0))))
+    // boosted expansion: every expanded term carries the boost
+    assert(hits(s.search("e*^3 kappa", n)) ===
+      hits(s.topKWand(Seq("eps", "eta", "kappa"), n,
+        boosts = Map("eps" -> 3.0, "eta" -> 3.0))))
+    // single boosted phrase = Boosted scorer over the phrase (2× scores)
+    val plainP = hits(s.phraseTopK(Seq("alpha", "kappa"), n)).toMap
+    hits(s.search("\"alpha kappa\"^2", n)).foreach { case (d, sc) =>
+      assert(math.abs(sc - 2.0 * plainP(d)) <= 1e-12 * math.max(1.0, sc))
+    }
+    // phrase boost inside a boolean query: the boosted run's scores
+    // exceed the unboosted run's by exactly the phrase's own score
+    val plainB = hits(s.search("+\"alpha kappa\" beta", n)).toMap
+    val boostedB = hits(s.search("+\"alpha kappa\"^2 beta", n))
+    assert(boostedB.map(_._1).toSet === plainB.keySet)
+    boostedB.foreach { case (d, sc) =>
+      val expected = plainB(d) + plainP(d)
+      assert(math.abs(sc - expected) <= 1e-9 * math.max(1.0, expected), s"doc=$d")
+    }
+  }
+
   test("NOT expansion flattens into the exclusion set") {
     val idx = index(randomDocs(130, 101L))
     val s = new Searcher(spark, idx)
