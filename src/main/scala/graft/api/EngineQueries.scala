@@ -162,6 +162,12 @@ object EngineQueries {
   def spanFirst(s: SparkSession, dir: String): DataFrame =
     asTopK(searcher(s, dir).spanFirstTopK("spark", 5, 10))
 
+  /** Unordered proximity (Lucene SpanNearQuery inOrder=false):
+    * 'hash' NEAR/4 'scan' — co-occurrence within 4 positions in
+    * either order, tf = hash-occurrences with a scan in window. */
+  def nearBm25(s: SparkSession, dir: String): DataFrame =
+    asTopK(searcher(s, dir).nearTopK("hash", "scan", 4, 10))
+
   /** Disjunction-max (Lucene DisjunctionMaxQuery, tieBreaker 0.3):
     * best term's contribution + 0.3 × the rest. */
   def dismax(s: SparkSession, dir: String): DataFrame =

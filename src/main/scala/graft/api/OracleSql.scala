@@ -366,6 +366,15 @@ scored AS (
 SELECT doc_id, round(s, 4) AS score FROM scored
 ORDER BY s DESC, doc_id LIMIT 10"""),
 
+    // NEAR/4 unordered proximity: tf counts 'hash' positions with some
+    // 'scan' within |Δ| ≤ 4 (DISTINCT a-side ≡ the engine's two-pointer
+    // count); pseudo-term scoring like the phrase family
+    "near_bm25" -> (TOK + """
+, starts AS (
+  SELECT DISTINCT a.doc_id, a.pos FROM emitted a
+  JOIN emitted b ON a.doc_id = b.doc_id AND abs(b.pos - a.pos) <= 4
+  WHERE a.term = 'hash' AND b.term = 'scan')""" + phraseScoreTail),
+
     // SpanFirstQuery: 'spark' within the first 5 positions; pseudo-term
     // scoring over qualifying occurrences only
     "span_first" -> (TOK + """

@@ -602,6 +602,83 @@ final class Searcher(
     scorePhraseMatched(matched, scorer, k)
   }
 
+  /** Unordered proximity NEAR (Lucene SpanNearQuery(a, b,
+    * slop=window, inOrder=false), classic fulltext `a NEAR/w b`):
+    * rank docs where `a` and `b` co-occur within `window` token
+    * positions in EITHER order. tf = number of positions of `a` with
+    * some position of `b` at distance ≤ window; the match set scores
+    * as one pseudo-term with df = matching live docs, like the phrase
+    * family. Same pruned plan as `phraseTopK`: shards lacking either
+    * term are dropped from BOTH cogroup sides, docId leapfrog with
+    * block skipping, positions decoded lazily only on intersection
+    * docs, two-pointer window count (Wand.nearMatches). */
+  def nearTopK(a: String, b: String, window: Int, k: Int,
+      scorer: Scorer = BM25()): DataFrame =
+    scorePhraseMatched(nearMatchRows(a, b, window, scorer), scorer, k)
+
+  private def nearMatchRows(a: String, b: String, window: Int,
+      scorer: Scorer): DataFrame = {
+    require(a != b, "NEAR needs two distinct terms")
+    require(window >= 1, "window must be >= 1")
+    val qTerms = Seq(a, b).sorted
+    val meta = collectMeta(qTerms)
+    val shards =
+      if (qTerms.exists(t => !meta.dfs.contains(t))) Array.empty[Long]
+      else meta.shardsWithAll(qTerms)
+    if (shards.isEmpty)
+      return Seq.empty[(Long, Int, Double)].toDF("docId", "tf", "dl")
+    val dfs = meta.dfs
+    val st = stats
+    val scorerB = scorer
+    val (aB, bB, wB) = (a, b, window)
+    val prows = pruneShards(postingRows(qTerms).toDF(), shards)
+      .as[PostingRow].groupByKey(_.shard)
+    val dls = pruneShards(dlWithShard, shards)
+      .select(col("docId"), col("dl"), col("shard"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._3)
+    prows.cogroup(dls) {
+      (_: Long, ps: Iterator[PostingRow], ds: Iterator[(Long, Double, Long)]) =>
+        val rows = ps.toArray
+        require(rows.iterator.map(_.term).toSet.size == rows.length,
+          "duplicate posting rows for one (term, shard) — NEAR search " +
+            "requires merged postings (one row per term per shard)")
+        val iterOf = rows.map { r =>
+          r.term -> new TermIterator(r.term, dfs(r.term).toDouble, 0.0,
+            scorerB, st, new PostingsCodec.BlobView(r.blob))
+        }.toMap
+        if (!iterOf.contains(aB) || !iterOf.contains(bB)) Iterator.empty
+        else {
+          val dlMap = new scala.collection.mutable.LongMap[Double]()
+          ds.foreach { case (d, dl, _) => dlMap.update(d, dl) }
+          Wand.nearMatches(iterOf(aB), iterOf(bB), wB)
+            .collect { case (d, tf) if dlMap.contains(d) => (d, tf, dlMap(d)) }
+        }
+    }.toDF("docId", "tf", "dl")
+      .localCheckpoint() // one cogroup for both the df count and scoring
+  }
+
+  /** Exhaustive NEAR cross-validation oracle: corpus-wide positional
+    * explode of both terms, |Δpos| ≤ window join, distinct on the
+    * `a`-side position (each a-occurrence counts once however many
+    * b-occurrences sit in its window). Do not use at scale. */
+  def nearTopKExhaustive(a: String, b: String, window: Int, k: Int,
+      scorer: Scorer = BM25()): DataFrame = {
+    require(a != b && window >= 1)
+    val m = matchesWithPositions(Seq(a, b)).toDF()
+    def pos(t: String) = m.where(col("term") === t)
+      .select(col("docId"), explode(col("positions")).as("p"))
+    val matched = pos(a).as("pa")
+      .join(pos(b).as("pb"), col("pa.docId") === col("pb.docId") &&
+        abs(col("pb.p") - col("pa.p")) <= lit(window))
+      .select(col("pa.docId").as("docId"), col("pa.p").as("p"))
+      .distinct()
+      .groupBy("docId").agg(count(lit(1)).cast("int").as("tf"))
+      .join(dlLookup(collectMeta(Seq(a, b))), Seq("docId"))
+      .localCheckpoint()
+    scorePhraseMatched(matched, scorer, k)
+  }
+
   /** Phrase-prefix query (Lucene MultiPhrasePrefixQuery — the engine
     * behind Elasticsearch's match_phrase_prefix): exact leading slots,
     * final slot = every dictionary term starting with `prefix`

@@ -562,6 +562,45 @@ object Wand {
     r
   }
 
+  /** Unordered proximity (NEAR/w — Lucene SpanNearQuery with
+    * inOrder=false over two terms): per doc where BOTH terms occur,
+    * tf = number of positions of term A with SOME position of term B
+    * within |Δ| ≤ window (direction-free). Two-pointer over the two
+    * ascending position arrays — O(|A| + |B|) per doc. Iterators
+    * leapfrog on docId with block skipping like the phrase path;
+    * positions decode lazily only for docs where both terms aligned.
+    * @return (docId, tf), docId ascending. */
+  def nearMatches(
+      itA: TermIterator,
+      itB: TermIterator,
+      window: Int): Iterator[(Long, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    var done = false
+    while (!done) {
+      val (da, db) = (itA.curDoc, itB.curDoc)
+      if (da == Long.MaxValue || db == Long.MaxValue) done = true
+      else if (da < db) itA.advanceTo(db)
+      else if (db < da) itB.advanceTo(da)
+      else {
+        val pa = itA.curPositions
+        val pb = itB.curPositions
+        var tf = 0
+        var ia = 0
+        var ib = 0
+        while (ia < pa.length) {
+          val p = pa(ia)
+          // advance ib to the first b-position ≥ p − window
+          while (ib < pb.length && pb(ib) < p - window) ib += 1
+          if (ib < pb.length && pb(ib) <= p + window) tf += 1
+          ia += 1
+        }
+        if (tf > 0) out += ((da, tf))
+        itA.next(); itB.next()
+      }
+    }
+    out.iterator
+  }
+
   /** Start-position count shared by the exact and sloppy verifiers:
     * posPerSlot(j) = ascending positions where slot j matches. */
   private def countStarts(
