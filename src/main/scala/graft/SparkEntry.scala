@@ -49,6 +49,7 @@ object SparkEntry {
     "dismax_topk" -> ((s, d) => E.dismax(s, d)),
     "span_first" -> ((s, d) => E.spanFirst(s, d)),
     "near_bm25" -> ((s, d) => E.nearBm25(s, d)),
+    "span_not" -> ((s, d) => E.spanNot(s, d)),
     "qstring_expansion" -> ((s, d) => E.qstringExpansion(s, d)),
     "bm25_boosted" -> ((s, d) => E.bm25Boosted(s, d)),
     "bm25_filtered" -> ((s, d) => E.bm25Filtered(s, d)),

@@ -168,6 +168,11 @@ object EngineQueries {
   def nearBm25(s: SparkSession, dir: String): DataFrame =
     asTopK(searcher(s, dir).nearTopK("hash", "scan", 4, 10))
 
+  /** Span exclusion (Lucene SpanNotQuery pre=post=2): occurrences of
+    * 'spark' with no 'merge' within 2 positions either side. */
+  def spanNot(s: SparkSession, dir: String): DataFrame =
+    asTopK(searcher(s, dir).spanNotTopK("spark", "merge", 10, pre = 2, post = 2))
+
   /** Disjunction-max (Lucene DisjunctionMaxQuery, tieBreaker 0.3):
     * best term's contribution + 0.3 × the rest. */
   def dismax(s: SparkSession, dir: String): DataFrame =

@@ -375,6 +375,15 @@ ORDER BY s DESC, doc_id LIMIT 10"""),
   JOIN emitted b ON a.doc_id = b.doc_id AND abs(b.pos - a.pos) <= 4
   WHERE a.term = 'hash' AND b.term = 'scan')""" + phraseScoreTail),
 
+    // SpanNotQuery(include='spark', exclude='merge', pre=post=2):
+    // tf = spark positions with NO merge inside [p-2, p+2]
+    "span_not" -> (TOK + """
+, starts AS (
+  SELECT a.doc_id, a.pos FROM emitted a
+  WHERE a.term = 'spark' AND NOT EXISTS (
+    SELECT 1 FROM emitted b WHERE b.doc_id = a.doc_id AND b.term = 'merge'
+      AND b.pos BETWEEN a.pos - 2 AND a.pos + 2))""" + phraseScoreTail),
+
     // SpanFirstQuery: 'spark' within the first 5 positions; pseudo-term
     // scoring over qualifying occurrences only
     "span_first" -> (TOK + """

@@ -658,6 +658,76 @@ final class Searcher(
       .localCheckpoint() // one cogroup for both the df count and scoring
   }
 
+  /** Span exclusion (Lucene SpanNotQuery(include, exclude, pre, post)
+    * over term spans): rank docs on the occurrences of `a` that have
+    * NO `b` within [p − pre, p + post]; a doc whose every `a` sits
+    * near a `b` drops out entirely. tf = surviving occurrences,
+    * scored as one pseudo-term with df = matching live docs, like the
+    * phrase family. Plan: shards are pruned to those containing `a`
+    * (the exclude term does not gate the scan); where `b` is absent
+    * from a shard, every `a` doc passes at raw tf with zero positions
+    * decodes (Wand.spanNotMatches). */
+  def spanNotTopK(a: String, b: String, k: Int,
+      pre: Int = 0, post: Int = 0, scorer: Scorer = BM25()): DataFrame = {
+    require(a != b, "spanNot needs distinct include/exclude terms")
+    require(pre >= 0 && post >= 0, "negative exclusion window")
+    val meta = collectMeta(Seq(a, b).distinct.sorted)
+    if (!meta.dfs.contains(a)) return emptyHits
+    val shards = meta.shardsWithAll(Seq(a))
+    if (shards.isEmpty) return emptyHits
+    val qTerms = if (meta.dfs.contains(b)) Seq(a, b).sorted else Seq(a)
+    val dfs = meta.dfs
+    val st = stats
+    val scorerB = scorer
+    val (aB, bB, preB, postB) = (a, b, pre, post)
+    val prows = pruneShards(postingRows(qTerms).toDF(), shards)
+      .as[PostingRow].groupByKey(_.shard)
+    val dls = pruneShards(dlWithShard, shards)
+      .select(col("docId"), col("dl"), col("shard"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._3)
+    val matched = prows.cogroup(dls) {
+      (_: Long, ps: Iterator[PostingRow], ds: Iterator[(Long, Double, Long)]) =>
+        val rows = ps.toArray
+        require(rows.iterator.map(_.term).toSet.size == rows.length,
+          "duplicate posting rows for one (term, shard) — spanNot search " +
+            "requires merged postings (one row per term per shard)")
+        val iterOf = rows.map { r =>
+          r.term -> new TermIterator(r.term, dfs(r.term).toDouble, 0.0,
+            scorerB, st, new PostingsCodec.BlobView(r.blob))
+        }.toMap
+        iterOf.get(aB) match {
+          case None => Iterator.empty
+          case Some(ia) =>
+            val dlMap = new scala.collection.mutable.LongMap[Double]()
+            ds.foreach { case (d, dl, _) => dlMap.update(d, dl) }
+            Wand.spanNotMatches(ia, iterOf.getOrElse(bB, null), preB, postB)
+              .collect { case (d, tf) if dlMap.contains(d) => (d, tf, dlMap(d)) }
+        }
+    }.toDF("docId", "tf", "dl")
+      .localCheckpoint() // one cogroup for both the df count and scoring
+    scorePhraseMatched(matched, scorer, k)
+  }
+
+  /** Exhaustive spanNot cross-validation oracle: positional explode of
+    * `a`, anti-join against `b` positions in the exclusion window.
+    * Do not use at scale. */
+  def spanNotTopKExhaustive(a: String, b: String, k: Int,
+      pre: Int = 0, post: Int = 0, scorer: Scorer = BM25()): DataFrame = {
+    require(a != b && pre >= 0 && post >= 0)
+    val m = matchesWithPositions(Seq(a, b).distinct).toDF()
+    def pos(t: String) = m.where(col("term") === t)
+      .select(col("docId"), explode(col("positions")).as("p"))
+    val matched = pos(a).as("pa")
+      .join(pos(b).as("pb"), col("pa.docId") === col("pb.docId") &&
+        col("pb.p") >= col("pa.p") - lit(pre) &&
+        col("pb.p") <= col("pa.p") + lit(post), "left_anti")
+      .groupBy("docId").agg(count(lit(1)).cast("int").as("tf"))
+      .join(dlLookup(collectMeta(Seq(a, b).distinct.sorted)), Seq("docId"))
+      .localCheckpoint()
+    scorePhraseMatched(matched, scorer, k)
+  }
+
   /** Exhaustive NEAR cross-validation oracle: corpus-wide positional
     * explode of both terms, |Δpos| ≤ window join, distinct on the
     * `a`-side position (each a-occurrence counts once however many

@@ -601,6 +601,42 @@ object Wand {
     out.iterator
   }
 
+  /** Span exclusion (Lucene SpanNotQuery(include, exclude, pre, post)
+    * over term spans): tf = positions of `a` with NO position of `b`
+    * inside [p − pre, p + post]. `itB` null ⇔ the exclude term is
+    * absent from this shard — every `a` doc passes at its RAW tf with
+    * ZERO positions decodes (the lazy-decode dividend: exclusion only
+    * costs position work on docs where both terms meet). Two-pointer
+    * over ascending positions otherwise, O(|A| + |B|) per doc. */
+  def spanNotMatches(
+      itA: TermIterator,
+      itB: TermIterator,
+      pre: Int,
+      post: Int): Iterator[(Long, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    while (itA.curDoc != Long.MaxValue) {
+      val da = itA.curDoc
+      if (itB != null && itB.curDoc < da) itB.advanceTo(da)
+      if (itB != null && itB.curDoc == da) {
+        val pa = itA.curPositions
+        val pb = itB.curPositions
+        var tf = 0
+        var ia = 0
+        var ib = 0
+        while (ia < pa.length) {
+          val p = pa(ia)
+          // advance ib to the first b-position ≥ p − pre
+          while (ib < pb.length && pb(ib) < p - pre) ib += 1
+          if (!(ib < pb.length && pb(ib) <= p + post)) tf += 1
+          ia += 1
+        }
+        if (tf > 0) out += ((da, tf))
+      } else out += ((da, itA.curTf)) // exclude term absent: raw tf
+      itA.next()
+    }
+    out.iterator
+  }
+
   /** Start-position count shared by the exact and sloppy verifiers:
     * posPerSlot(j) = ascending positions where slot j matches. */
   private def countStarts(

@@ -82,6 +82,42 @@ class NearSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](s.nearTopK("alpha", "beta", 0, 10))
   }
 
+  test("spanNot semantics: asymmetric pre/post window, absent-exclude raw tf") {
+    val idx = index(Seq(
+      (0L, "alpha beta"), // beta at +1: post≥1 kills it, pre-only keeps
+      (1L, "beta alpha"), // beta at −1: pre≥1 kills it, post-only keeps
+      (2L, "alpha x1 x2 beta"), // Δ+3: survives post 2, dies post 3
+      (3L, "alpha gamma alpha"), // no beta: raw tf 2
+      (4L, "alpha beta alpha"))) // post 1: first alpha dies, second survives
+    val s = new Searcher(spark, idx)
+    def docs(pre: Int, post: Int): Set[Long] =
+      hits(s.spanNotTopK("alpha", "beta", 50, pre, post)).map(_._1).toSet
+    assert(docs(0, 1) === Set(1L, 2L, 3L, 4L))
+    assert(docs(1, 0) === Set(0L, 2L, 3L, 4L))
+    assert(docs(0, 3) === Set(1L, 3L, 4L))
+    assert(docs(2, 2) === Set(2L, 3L)) // doc 4: beta@2 covers both alphas
+    // exclude term absent from the whole corpus → every alpha doc, raw tf
+    assert(hits(s.spanNotTopK("alpha", "nosuchterm", 50)).map(_._1).toSet ===
+      Set(0L, 1L, 2L, 3L, 4L))
+    // include term absent → empty
+    assert(s.spanNotTopK("nosuchterm", "beta", 50).count() === 0L)
+  }
+
+  test("pruned spanNot ≡ exhaustive anti-join (rank AND score)") {
+    val corpus = randomDocs(140, 43L)
+    for (shardSize <- Seq(16L, 1024L); (pre, post) <- Seq((0, 0), (1, 2), (4, 4))) {
+      val idx = index(corpus, shardSize)
+      val s = new Searcher(spark, idx)
+      val pr = hits(s.spanNotTopK("alpha", "kappa", 200, pre, post))
+      val ex = hits(s.spanNotTopKExhaustive("alpha", "kappa", 200, pre, post))
+      assert(pr.nonEmpty, s"pre=$pre post=$post no matches — vacuous")
+      assert(pr.map(_._1) === ex.map(_._1), s"shard=$shardSize pre=$pre post=$post")
+      pr.zip(ex).foreach { case (x, y) =>
+        assert(math.abs(x._2 - y._2) <= 1e-12 * math.max(1.0, math.abs(y._2)))
+      }
+    }
+  }
+
   test("NEAR window grows monotonically and respects tombstones") {
     val corpus = randomDocs(120, 57L)
     val idx = index(corpus, shardSize = 32L)
