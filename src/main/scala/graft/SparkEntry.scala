@@ -50,6 +50,14 @@ object SparkEntry {
     "span_first" -> ((s, d) => E.spanFirst(s, d)),
     "near_bm25" -> ((s, d) => E.nearBm25(s, d)),
     "span_not" -> ((s, d) => E.spanNot(s, d)),
+    "near_all" -> ((s, d) => E.nearAll(s, d)),
+    "span_or" -> ((s, d) => E.spanOr(s, d)),
+    "match_all" -> ((s, d) => E.matchAll(s, d)),
+    "regex_topk" -> ((s, d) => E.regexTopk(s, d)),
+    "facet_lang" -> ((s, d) => E.facetLang(s, d)),
+    "grouped_topk" -> ((s, d) => E.groupedTopk(s, d)),
+    "mlt_topk" -> ((s, d) => E.mltTopk(s, d)),
+    "explain_doc" -> ((s, d) => E.explainDoc(s, d)),
     "qstring_expansion" -> ((s, d) => E.qstringExpansion(s, d)),
     "bm25_boosted" -> ((s, d) => E.bm25Boosted(s, d)),
     "bm25_filtered" -> ((s, d) => E.bm25Filtered(s, d)),

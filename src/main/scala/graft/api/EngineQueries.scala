@@ -168,6 +168,51 @@ object EngineQueries {
   def nearBm25(s: SparkSession, dir: String): DataFrame =
     asTopK(searcher(s, dir).nearTopK("hash", "scan", 4, 10))
 
+  /** N-ary anchored proximity: 'spark' with BOTH 'merge' and 'scan'
+    * within 6 positions of the same occurrence. */
+  def nearAll(s: SparkSession, dir: String): DataFrame =
+    asTopK(searcher(s, dir).nearAllTopK("spark", Seq("merge", "scan"), 6, 10))
+
+  /** Synonym-group scoring (SpanOrQuery/SynonymQuery): (merge|scan)
+    * as ONE pseudo-term — tf sums members, df = docs with any. */
+  def spanOr(s: SparkSession, dir: String): DataFrame =
+    asTopK(searcher(s, dir).spanOrTopK(Seq("merge", "scan"), 10))
+
+  /** MatchAllDocsQuery: first 20 live docs at constant score. */
+  def matchAll(s: SparkSession, dir: String): DataFrame =
+    searcher(s, dir).matchAllTopK(20)
+      .select(col("docId").cast("long").as("doc_id"), col("score"))
+
+  /** Regex term expansion (Lucene contrib RegexQuery):
+    * (sc|st|sp)[a-z]+ → {scan, spark, stream} on this corpus, ranked
+    * as a scoring OR. */
+  def regexTopk(s: SparkSession, dir: String): DataFrame =
+    asTopK(searcher(s, dir).regexpTopK("(sc|st|sp)[a-z]+", 10))
+
+  /** Facet counts: matching docs of 'spark' OR 'merge' counted per
+    * stored `lang` value, top values by count. */
+  def facetLang(s: SparkSession, dir: String): DataFrame =
+    searcher(s, dir).facetCounts(Seq("spark", "merge"), "lang", 10)
+      .select(col("value").as("lang"), col("cnt").cast("long").as("cnt"))
+
+  /** Grouped top-k: best 3 'spark' hits per `lang` group. */
+  def groupedTopk(s: SparkSession, dir: String): DataFrame =
+    searcher(s, dir).groupedTopK(Seq("spark"), "lang", 3)
+      .select(col("value").as("lang"), col("docId").cast("long").as("doc_id"),
+        round(col("score"), 4).as("score"), col("rank").cast("int").as("rank"))
+
+  /** MoreLikeThis from seed doc 42: top-5 characteristic terms
+    * (tf desc, df asc, term asc), scoring-OR over the rest. */
+  def mltTopk(s: SparkSession, dir: String): DataFrame =
+    asTopK(searcher(s, dir).moreLikeThisTopK(42L, 10, maxQueryTerms = 5))
+
+  /** Lucene explain() for doc 42 against {spark, merge, scan}:
+    * per-term tf/df and BM25 contribution rows. */
+  def explainDoc(s: SparkSession, dir: String): DataFrame =
+    searcher(s, dir).explainDoc(Seq("spark", "merge", "scan"), 42L)
+      .select(col("term"), col("tf"), col("df"),
+        round(col("contribution"), 4).as("contribution"))
+
   /** Span exclusion (Lucene SpanNotQuery pre=post=2): occurrences of
     * 'spark' with no 'merge' within 2 positions either side. */
   def spanNot(s: SparkSession, dir: String): DataFrame =

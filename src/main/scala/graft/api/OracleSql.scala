@@ -375,6 +375,87 @@ ORDER BY s DESC, doc_id LIMIT 10"""),
   JOIN emitted b ON a.doc_id = b.doc_id AND abs(b.pos - a.pos) <= 4
   WHERE a.term = 'hash' AND b.term = 'scan')""" + phraseScoreTail),
 
+    // N-ary anchored NEAR: spark occurrences with BOTH merge and scan
+    // within |Δ| ≤ 6
+    "near_all" -> (TOK + """
+, starts AS (
+  SELECT a.doc_id, a.pos FROM emitted a
+  WHERE a.term = 'spark'
+    AND EXISTS (SELECT 1 FROM emitted b WHERE b.doc_id = a.doc_id
+      AND b.term = 'merge' AND abs(b.pos - a.pos) <= 6)
+    AND EXISTS (SELECT 1 FROM emitted c WHERE c.doc_id = a.doc_id
+      AND c.term = 'scan' AND abs(c.pos - a.pos) <= 6))""" + phraseScoreTail),
+
+    // SpanOrQuery/SynonymQuery (merge|scan): one pseudo-term, tf sums
+    // the members' occurrences, df = docs containing any member
+    "span_or" -> (TOK + """
+, starts AS (
+  SELECT doc_id, pos FROM emitted WHERE term IN ('merge', 'scan'))""" +
+      phraseScoreTail),
+
+    // MatchAllDocsQuery: every doc at constant score, docId order
+    "match_all" -> """
+SELECT doc_id::BIGINT AS doc_id, 1.0::DOUBLE AS score FROM documents
+ORDER BY doc_id LIMIT 20""",
+
+    // Regex expansion (sc|st|sp)[a-z]+ — scoring OR over every
+    // dictionary term fully matching the anchored pattern
+    "regex_topk" -> expansionTopK(
+      "regexp_full_match(term, '(sc|st|sp)[a-z]+')", 10),
+
+    // Facet counts: docs matching spark OR merge, counted per lang
+    "facet_lang" -> (TOK + """
+, m AS (SELECT DISTINCT doc_id FROM emitted
+        WHERE term IN ('spark', 'merge'))
+SELECT d.lang AS lang, count(*)::BIGINT AS cnt
+FROM m JOIN documents d USING (doc_id)
+GROUP BY 1 ORDER BY cnt DESC, lang LIMIT 10"""),
+
+    // Grouped top-k: best 3 spark hits per lang, rank within group
+    "grouped_topk" -> (TOK + bm25Scored(Seq("spark")) + """
+, ranked AS (
+  SELECT d.lang AS lang, s.doc_id, round(s.s, 4) AS score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.s DESC, s.doc_id) AS rank
+  FROM scored s JOIN documents d USING (doc_id))
+SELECT lang, doc_id, score, rank::INT AS rank FROM ranked
+WHERE rank <= 3 ORDER BY lang, rank"""),
+
+    // MoreLikeThis from doc 42: top-5 terms by (tf desc, df asc,
+    // term asc), scoring-OR over the corpus minus the seed
+    "mlt_topk" -> (TOK + """
+, seed AS (
+  SELECT term, count(*)::BIGINT AS tf FROM emitted
+  WHERE doc_id = 42 GROUP BY 1),
+seeddf AS (
+  SELECT s.term, s.tf,
+         (SELECT count(DISTINCT e.doc_id) FROM emitted e
+          WHERE e.term = s.term)::BIGINT AS df
+  FROM seed s),
+mlt AS (SELECT term FROM seeddf
+        ORDER BY tf DESC, df ASC, term ASC LIMIT 5)""" +
+      bm25ScoredPred("term IN (SELECT term FROM mlt)") + """
+SELECT doc_id, round(s, 4) AS score FROM scored
+WHERE doc_id <> 42
+ORDER BY s DESC, doc_id LIMIT 10"""),
+
+    // Lucene explain() of doc 42 vs {merge, scan, spark}: per-term
+    // tf/df and the BM25 contribution, term order
+    "explain_doc" -> (TOK + """
+, dtf AS (
+  SELECT term, count(*)::BIGINT AS tf FROM emitted
+  WHERE doc_id = 42 AND term IN ('merge', 'scan', 'spark') GROUP BY 1),
+qdf AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM emitted
+  WHERE term IN ('merge', 'scan', 'spark') GROUP BY 1),
+ddl AS (SELECT dl FROM dl WHERE doc_id = 42)
+SELECT t.term, t.tf, f.df,
+       round(ln(1.0 + (c.n - f.df + 0.5) / (f.df + 0.5))
+             * t.tf / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl)), 4)
+         AS contribution
+FROM dtf t JOIN qdf f USING (term) CROSS JOIN ddl d CROSS JOIN corpus c
+ORDER BY t.term"""),
+
     // SpanNotQuery(include='spark', exclude='merge', pre=post=2):
     // tf = spark positions with NO merge inside [p-2, p+2]
     "span_not" -> (TOK + """

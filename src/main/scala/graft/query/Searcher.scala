@@ -614,13 +614,26 @@ final class Searcher(
     * docs, two-pointer window count (Wand.nearMatches). */
   def nearTopK(a: String, b: String, window: Int, k: Int,
       scorer: Scorer = BM25()): DataFrame =
-    scorePhraseMatched(nearMatchRows(a, b, window, scorer), scorer, k)
+    nearAllTopK(a, Seq(b), window, k, scorer)
 
-  private def nearMatchRows(a: String, b: String, window: Int,
-      scorer: Scorer): DataFrame = {
-    require(a != b, "NEAR needs two distinct terms")
+  /** N-ary anchored proximity: docs where `anchor` and EVERY term in
+    * `others` co-occur, tf = anchor occurrences with each other term
+    * within `window` positions (either direction). For one other term
+    * this IS the unordered two-clause SpanNearQuery; for more it is
+    * the anchored per-occurrence form (divergence from Lucene's
+    * minimal-cover n-clause semantics documented at
+    * Wand.nearAllMatches). Same pruned plan as the phrase family. */
+  def nearAllTopK(anchor: String, others: Seq[String], window: Int,
+      k: Int, scorer: Scorer = BM25()): DataFrame =
+    scorePhraseMatched(nearMatchRows(anchor, others, window, scorer), scorer, k)
+
+  private def nearMatchRows(anchor: String, others: Seq[String],
+      window: Int, scorer: Scorer): DataFrame = {
+    val rest = others.distinct
+    require(rest.nonEmpty && !rest.contains(anchor),
+      "NEAR needs distinct terms with at least one non-anchor")
     require(window >= 1, "window must be >= 1")
-    val qTerms = Seq(a, b).sorted
+    val qTerms = (anchor +: rest).sorted
     val meta = collectMeta(qTerms)
     val shards =
       if (qTerms.exists(t => !meta.dfs.contains(t))) Array.empty[Long]
@@ -630,7 +643,7 @@ final class Searcher(
     val dfs = meta.dfs
     val st = stats
     val scorerB = scorer
-    val (aB, bB, wB) = (a, b, window)
+    val (aB, restB, wB) = (anchor, rest, window)
     val prows = pruneShards(postingRows(qTerms).toDF(), shards)
       .as[PostingRow].groupByKey(_.shard)
     val dls = pruneShards(dlWithShard, shards)
@@ -647,11 +660,11 @@ final class Searcher(
           r.term -> new TermIterator(r.term, dfs(r.term).toDouble, 0.0,
             scorerB, st, new PostingsCodec.BlobView(r.blob))
         }.toMap
-        if (!iterOf.contains(aB) || !iterOf.contains(bB)) Iterator.empty
+        if (!iterOf.contains(aB) || !restB.forall(iterOf.contains)) Iterator.empty
         else {
           val dlMap = new scala.collection.mutable.LongMap[Double]()
           ds.foreach { case (d, dl, _) => dlMap.update(d, dl) }
-          Wand.nearMatches(iterOf(aB), iterOf(bB), wB)
+          Wand.nearAllMatches(iterOf(aB), restB.map(iterOf).toArray, wB)
             .collect { case (d, tf) if dlMap.contains(d) => (d, tf, dlMap(d)) }
         }
     }.toDF("docId", "tf", "dl")
@@ -729,25 +742,56 @@ final class Searcher(
   }
 
   /** Exhaustive NEAR cross-validation oracle: corpus-wide positional
-    * explode of both terms, |Δpos| ≤ window join, distinct on the
-    * `a`-side position (each a-occurrence counts once however many
-    * b-occurrences sit in its window). Do not use at scale. */
+    * explode, one |Δpos| ≤ window semi-join per non-anchor term (each
+    * anchor occurrence counts once however many partner occurrences
+    * sit in its window). Do not use at scale. */
   def nearTopKExhaustive(a: String, b: String, window: Int, k: Int,
-      scorer: Scorer = BM25()): DataFrame = {
-    require(a != b && window >= 1)
-    val m = matchesWithPositions(Seq(a, b)).toDF()
+      scorer: Scorer = BM25()): DataFrame =
+    nearAllTopKExhaustive(a, Seq(b), window, k, scorer)
+
+  def nearAllTopKExhaustive(anchor: String, others: Seq[String],
+      window: Int, k: Int, scorer: Scorer = BM25()): DataFrame = {
+    val rest = others.distinct
+    require(rest.nonEmpty && !rest.contains(anchor) && window >= 1)
+    val m = matchesWithPositions((anchor +: rest)).toDF()
     def pos(t: String) = m.where(col("term") === t)
       .select(col("docId"), explode(col("positions")).as("p"))
-    val matched = pos(a).as("pa")
-      .join(pos(b).as("pb"), col("pa.docId") === col("pb.docId") &&
-        abs(col("pb.p") - col("pa.p")) <= lit(window))
-      .select(col("pa.docId").as("docId"), col("pa.p").as("p"))
-      .distinct()
+    val survivors = rest.foldLeft(pos(anchor)) { (acc, t) =>
+      acc.as("pa").join(pos(t).as("pb"),
+        col("pa.docId") === col("pb.docId") &&
+          abs(col("pb.p") - col("pa.p")) <= lit(window), "left_semi")
+    }
+    val matched = survivors
       .groupBy("docId").agg(count(lit(1)).cast("int").as("tf"))
-      .join(dlLookup(collectMeta(Seq(a, b))), Seq("docId"))
+      .join(dlLookup(collectMeta((anchor +: rest).sorted)), Seq("docId"))
       .localCheckpoint()
     scorePhraseMatched(matched, scorer, k)
   }
+
+  /** Synonym-group scoring (Lucene SpanOrQuery over term spans ≡ the
+    * modern SynonymQuery): the group matches where ANY member occurs,
+    * tf = total member occurrences, scored as ONE pseudo-term with
+    * df = docs matching any member — distinct from the OR query,
+    * which scores each term against its own idf. Implemented as a
+    * single-slot multi-phrase (the slot's position merge IS the span
+    * union; this analyzer never stacks two members on one position,
+    * so the merged count equals the tf sum). */
+  def spanOrTopK(terms: Seq[String], k: Int,
+      scorer: Scorer = BM25()): DataFrame = {
+    require(terms.nonEmpty, "empty synonym group")
+    multiPhraseTopK(Seq(terms), k, scorer)
+  }
+
+  /** MatchAllDocsQuery: every LIVE doc (tombstones and docFilter out)
+    * at constant score 1.0 (Lucene norms ≡ 1 here), docId order. The
+    * browse/count primitive — pairs with `sortedTopKMulti` for
+    * query-less field-sorted listings. One pruned scan, no postings
+    * touched. */
+  def matchAllTopK(k: Int,
+      docFilter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    dlWithShard(docFilter)
+      .select(col("docId"), lit(1.0).as("score"))
+      .orderBy(asc("docId")).limit(k)
 
   /** Phrase-prefix query (Lucene MultiPhrasePrefixQuery — the engine
     * behind Elasticsearch's match_phrase_prefix): exact leading slots,
@@ -954,6 +998,135 @@ final class Searcher(
     joined.orderBy(ords: _*).limit(k)
       .select((Seq(col("docId")) ++ sortCols.map(c => col(c._1)).distinct
         :+ col("score")): _*)
+  }
+
+  /** Facet counts over a stored field for the query's match set (the
+    * Lucene facet module / ES terms-aggregation surface, layered on
+    * the reference's reader SPI like its collectors): LIVE matching
+    * docs per distinct `facetField` value, top `topN` values by count
+    * (ties → value asc). OR semantics by default; `requireAll` = AND.
+    * A facet inherently touches every match, so the plan is the
+    * exhaustive match set — but counts partial-aggregate map-side
+    * after a shard-pruned live semi-join, and only `topN` value rows
+    * reach the driver. */
+  def facetCounts(
+      terms: Seq[String],
+      facetField: String,
+      topN: Int,
+      requireAll: Boolean = false,
+      docFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val qTerms = terms.distinct
+    require(qTerms.nonEmpty && topN > 0)
+    val meta = collectMeta(qTerms)
+    val m0 = matches(qTerms).toDF().groupBy("docId")
+      .agg(countDistinct("term").as("nMatched"))
+    val matched =
+      (if (requireAll) m0.where(col("nMatched") === qTerms.length) else m0)
+        .select("docId")
+    val live = pruneShards(dlWithShard(docFilter), meta.shards).select("docId")
+    matched.join(live, Seq("docId"), "left_semi")
+      .join(index.docs.select(col("docId"), col(facetField).as("value")),
+        Seq("docId"))
+      .groupBy("value").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("value")).limit(topN)
+  }
+
+  /** Grouped top-k (the Lucene grouping module's
+    * TermFirstPassGroupingCollector surface): the best `kPerGroup`
+    * docs per distinct `groupField` value, ranked by query score
+    * (ties → docId asc). One window over the scoring join, partitioned
+    * by the group value — the shuffle key is the group, and each
+    * partition keeps a running top-k, never the corpus. Returns
+    * (value, docId, score, rank) ordered by (value, rank). */
+  def groupedTopK(
+      terms: Seq[String],
+      groupField: String,
+      kPerGroup: Int,
+      scorer: Scorer = BM25(),
+      requireAll: Boolean = false,
+      docFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(kPerGroup > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("value")).orderBy(desc("score"), asc("docId"))
+    scoredDocs(terms, scorer, requireAll, docFilter = docFilter)
+      .join(index.docs.select(col("docId"), col(groupField).as("value")),
+        Seq("docId"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= kPerGroup)
+      .orderBy(asc("value"), asc("rank"))
+      .select("value", "docId", "score", "rank")
+  }
+
+  /** MoreLikeThis (Lucene contrib MoreLikeThis, which drives itself
+    * entirely through the reader SPI the reference exposes): select
+    * the seed doc's most characteristic terms and rank the corpus
+    * with the scoring-OR of that selection. Selection order is
+    * tf desc, then df asc (rarer ⇒ more characteristic), then term
+    * asc — integer-only comparisons, so engine and SQL oracle can
+    * never diverge on a float tie (Lucene's tf·idf ordering reduces
+    * to this whenever idf is monotone in df, i.e. always). Term
+    * selection is driver-side over ONE stored doc (docTermVector) +
+    * one pruned dictionary lookup; the query itself is the standard
+    * WAND plan. The seed doc is excluded from the hits unless
+    * `includeSeed` (Lucene MLT convention). */
+  def moreLikeThisTopK(
+      docId: Long,
+      k: Int,
+      maxQueryTerms: Int = 5,
+      minTermFreq: Int = 1,
+      scorer: Scorer = BM25(),
+      includeSeed: Boolean = false): DataFrame = {
+    require(maxQueryTerms > 0 && minTermFreq >= 1)
+    val tv = docTermVector(docId).select("term", "tf").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .filter(_._2 >= minTermFreq)
+    if (tv.isEmpty) return emptyHits
+    val dfs = docFreqs(tv.map(_._1).toSeq)
+    val sel = tv.sortBy { case (t, tf) => (-tf, dfs.getOrElse(t, 0L), t) }
+      .take(maxQueryTerms).map(_._1).toSeq.sorted
+    val filt =
+      if (includeSeed) None
+      else Some(col("docId") =!= docId)
+    topKWand(sel, k, scorer, docFilter = filt)
+  }
+
+  /** Score explanation for one (query, doc) — Lucene
+    * IndexSearcher.explain(): per matching query term, the tf/df/dl
+    * inputs and the scorer's contribution. Rows sum to the doc's
+    * topK/topKWand score for docFactor-free scorers (BM25). The scan
+    * prunes to the SINGLE doc-range shard the doc lives in and
+    * decodes only the query terms' blobs there — a point debug call,
+    * cost ∝ one shard, not the corpus. */
+  def explainDoc(
+      terms: Seq[String],
+      docId: Long,
+      scorer: Scorer = BM25()): DataFrame = {
+    val qTerms = terms.distinct.sorted
+    require(qTerms.nonEmpty)
+    val shard = docId / index.config.shardSizeDocs
+    val dlRow = dlWithShard(None).where(col("docId") === docId)
+      .select("dl").limit(1).collect()
+    // deleted or absent doc explains to nothing
+    if (dlRow.isEmpty)
+      return Seq.empty[(String, Long, Long, Double)]
+        .toDF("term", "tf", "df", "contribution")
+    val dl = dlRow.head.getDouble(0)
+    val dfs = collectMeta(qTerms).dfs
+    val target = docId
+    val tfRows = pruneShards(postingRows(qTerms).toDF(), Array(shard))
+      .as[PostingRow].flatMap { r =>
+        val v = new PostingsCodec.BlobView(r.blob)
+        (0 until v.nBlocks).iterator.flatMap(i => v.decodeDocTf(i).iterator)
+          .collect { case (d, tf) if d == target => (r.term, tf) }
+      }.toDF("term", "tf")
+    val dfCol = coalesce(element_at(typedlit(dfs), col("term")), lit(0L))
+    tfRows
+      .withColumn("df", dfCol)
+      .withColumn("contribution", scorer.contributionCol(
+        col("tf").cast("double"), col("df").cast("double"), lit(dl), stats))
+      .orderBy(asc("term"))
+      .select(col("term"), col("tf").cast("long").as("tf"), col("df"),
+        col("contribution"))
   }
 
   /** Term/tf/positions vector of ONE stored doc by re-analysis of its
@@ -1307,6 +1480,23 @@ final class Searcher(
       hi.map(v => if (includeHi) col("term") <= v else col("term") < v)).flatten
     val ts = expandTerms(preds.reduce(_ && _),
       s"range [${lo.getOrElse("")}, ${hi.getOrElse("")}]", maxExpansions)
+    if (ts.isEmpty) emptyHits else topKWand(ts, k, scorer)
+  }
+
+  /** Regex query (Lucene 3.0 contrib RegexQuery — the same TermEnum
+    * full-scan MultiTermQuery the reference inherits; modern
+    * RegexpQuery): rank docs containing any dictionary term matching
+    * the FULLY ANCHORED pattern. The scan touches the term dictionary
+    * only (∝ vocabulary, not corpus) and the bounded expansion ranks
+    * as a scoring OR with per-term idf, like the rest of the family. */
+  def regexpTopK(
+      pattern: String,
+      k: Int,
+      scorer: Scorer = BM25(),
+      maxExpansions: Int = 1024): DataFrame = {
+    require(pattern.nonEmpty, "empty regex pattern")
+    val ts = expandTerms(col("term").rlike("^(?:" + pattern + ")$"),
+      s"regex '$pattern'", maxExpansions)
     if (ts.isEmpty) emptyHits else topKWand(ts, k, scorer)
   }
 

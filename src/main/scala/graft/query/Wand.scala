@@ -573,29 +573,69 @@ object Wand {
   def nearMatches(
       itA: TermIterator,
       itB: TermIterator,
+      window: Int): Iterator[(Long, Int)] =
+    nearAllMatches(itA, Array(itB), window)
+
+  /** N-ary anchored proximity: per doc where the anchor AND every
+    * other term occur, tf = anchor positions p such that EACH other
+    * term has SOME position within |Δ| ≤ window of p. (Divergence
+    * from Lucene's n-clause unordered SpanNearQuery, documented: that
+    * matches minimal covering windows of total span ≤ slop + n; the
+    * anchor form is the SQL-recomputable per-occurrence contract and
+    * coincides for two terms.) Conjunctive docId leapfrog with block
+    * skipping; positions decode lazily only on fully-aligned docs;
+    * one reused pointer array per shard — zero per-doc allocation. */
+  def nearAllMatches(
+      anchor: TermIterator,
+      others: Array[TermIterator],
       window: Int): Iterator[(Long, Int)] = {
+    require(others.nonEmpty, "anchored NEAR needs at least one other term")
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    val pbIdx = new Array[Int](others.length)
     var done = false
     while (!done) {
-      val (da, db) = (itA.curDoc, itB.curDoc)
-      if (da == Long.MaxValue || db == Long.MaxValue) done = true
-      else if (da < db) itA.advanceTo(db)
-      else if (db < da) itB.advanceTo(da)
+      val target = anchor.curDoc
+      if (target == Long.MaxValue) done = true
       else {
-        val pa = itA.curPositions
-        val pb = itB.curPositions
-        var tf = 0
-        var ia = 0
-        var ib = 0
-        while (ia < pa.length) {
-          val p = pa(ia)
-          // advance ib to the first b-position ≥ p − window
-          while (ib < pb.length && pb(ib) < p - window) ib += 1
-          if (ib < pb.length && pb(ib) <= p + window) tf += 1
-          ia += 1
+        // conjunctive leapfrog: align every other iterator on target,
+        // or push the anchor to the max blocking doc and retry
+        var aligned = true
+        var i = 0
+        while (aligned && i < others.length) {
+          val it = others(i)
+          if (it.curDoc < target) it.advanceTo(target)
+          if (it.curDoc == Long.MaxValue) { aligned = false; done = true }
+          else if (it.curDoc > target) {
+            anchor.advanceTo(it.curDoc)
+            aligned = false
+            if (anchor.curDoc == Long.MaxValue) done = true
+          } else i += 1
         }
-        if (tf > 0) out += ((da, tf))
-        itA.next(); itB.next()
+        if (aligned) {
+          val pa = anchor.curPositions
+          java.util.Arrays.fill(pbIdx, 0)
+          var tf = 0
+          var ia = 0
+          while (ia < pa.length) {
+            val p = pa(ia)
+            var ok = true
+            var j = 0
+            while (ok && j < others.length) {
+              val po = others(j).curPositions
+              var ib = pbIdx(j)
+              // pointers only move forward: pa ascends, so p − window
+              // ascends too
+              while (ib < po.length && po(ib) < p - window) ib += 1
+              pbIdx(j) = ib
+              ok = ib < po.length && po(ib) <= p + window
+              j += 1
+            }
+            if (ok) tf += 1
+            ia += 1
+          }
+          if (tf > 0) out += ((target, tf))
+          anchor.next()
+        }
       }
     }
     out.iterator

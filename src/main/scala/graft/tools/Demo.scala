@@ -82,6 +82,15 @@ object Demo {
       Seq(terms.head), terms(1).take(2), 5))
     show("dismax  ", s.dismaxTopK(terms :+ "window", 5, tieBreaker = 0.3))
     show("spanfst ", s.spanFirstTopK(terms.head, 5, 3))
+    show("near    ", s.nearTopK(terms.head, terms(1), 4, 5))
+    show("spannot ", s.spanNotTopK(terms.head, terms(1), 5, pre = 2, post = 2))
+    show("spanor  ", s.spanOrTopK(terms.take(2), 5))
+    show("mall    ", s.matchAllTopK(3))
+    show("regex   ", s.regexpTopK(terms.head.take(2) + "[a-z_0-9]*", 5))
+    show("facet   ", s.facetCounts(terms, "lang", 5))
+    show("grouped ", s.groupedTopK(terms, "lang", 2))
+    show("mlt     ", s.moreLikeThisTopK(0L, 5))
+    show("explain ", s.explainDoc(terms, 0L))
     show("qexpand ", s.search(s"+${terms.head.take(2)}* ${terms(1)}", 5))
     show("tboost  ", s.topKWand(terms, 5, boosts = Map(terms(1) -> 3.0)))
     show("filtered", s.topKWand(terms, 5,

@@ -188,7 +188,18 @@ object ScalingBench {
         "pprefix_id94" -> (() => s.phrasePrefixTopK(Seq("public"), "id94", 10,
           maxExpansions = 1024).collect()),
         "minshould_mixed" -> (() => s.topKWand(Seq("id17", "return", "id999"), 10,
-          minShouldMatch = 2).collect()))
+          minShouldMatch = 2).collect()),
+        // unordered proximity + span exclusion on the same two shapes:
+        // common+rare (leapfrog prunes to the rare side) and
+        // common+common (positional verification dominates); the
+        // rare-exclude spanNot shape measures the raw-tf fast path
+        // (exclude absent from most shards → zero positions decodes)
+        "near_sel" -> (() => s.nearTopK("return", "x5", 3, 10).collect()),
+        "near_skew" -> (() => s.nearTopK("public", "class", 3, 10).collect()),
+        "spannot_skew" -> (() => s.spanNotTopK("public", "class", 10,
+          pre = 2, post = 2).collect()),
+        "spannot_rare" -> (() => s.spanNotTopK("import", "id999", 10,
+          pre = 2, post = 2).collect()))
       queries.map { case (name, fn) =>
         fn() // warm
         val times = (1 to reps).map { _ =>

@@ -118,6 +118,75 @@ class NearSpec extends AnyFunSuite {
     }
   }
 
+  test("anchored n-ary NEAR: every partner must sit in the anchor's window") {
+    val idx = index(Seq(
+      (0L, "beta alpha gamma"), // both within 1
+      (1L, "beta alpha x1 x2 gamma"), // gamma at +3: w2 no, w3 yes
+      (2L, "alpha beta"), // gamma missing entirely
+      (3L, "beta x1 alpha x1 gamma alpha"), // alpha@3 ok at w2; alpha@6 gamma@5 ok, beta@1 no → tf 1
+      (4L, "gamma beta alpha alpha beta gamma"))) // both alphas ok at w2
+    val s = new Searcher(spark, idx)
+    def docs(w: Int): Set[Long] =
+      hits(s.nearAllTopK("alpha", Seq("beta", "gamma"), w, 50)).map(_._1).toSet
+    assert(docs(1) === Set(0L)) // doc 4: no gamma within 1 of any alpha
+    assert(docs(2) === Set(0L, 3L, 4L))
+    assert(docs(3) === Set(0L, 1L, 3L, 4L))
+    // 2-term nearAll ≡ binary near (same kernel, asserted at the API)
+    val bin = hits(s.nearTopK("alpha", "beta", 2, 50))
+    val nary = hits(s.nearAllTopK("alpha", Seq("beta"), 2, 50))
+    assert(bin === nary)
+  }
+
+  test("pruned n-ary NEAR ≡ exhaustive semi-join fold (rank AND score)") {
+    val corpus = randomDocs(140, 67L)
+    for (shardSize <- Seq(16L, 1024L); w <- Seq(2, 5)) {
+      val idx = index(corpus, shardSize)
+      val s = new Searcher(spark, idx)
+      val pr = hits(s.nearAllTopK("alpha", Seq("beta", "gamma"), w, 200))
+      val ex = hits(s.nearAllTopKExhaustive("alpha", Seq("beta", "gamma"), w, 200))
+      assert(pr.nonEmpty, s"w=$w no matches — vacuous")
+      assert(pr.map(_._1) === ex.map(_._1), s"shard=$shardSize w=$w")
+      pr.zip(ex).foreach { case (x, y) =>
+        assert(math.abs(x._2 - y._2) <= 1e-12 * math.max(1.0, math.abs(y._2)))
+      }
+    }
+  }
+
+  test("spanOr: synonym-group pseudo-term; singleton ≡ single-term query") {
+    val corpus = randomDocs(120, 71L)
+    val idx = index(corpus, shardSize = 32L)
+    val s = new Searcher(spark, idx)
+    // group df/tf: every doc containing alpha OR beta, scored once
+    val grp = hits(s.spanOrTopK(Seq("alpha", "beta"), 300)).toMap
+    val union = hits(s.topK(Seq("alpha"), 300)).map(_._1).toSet ++
+      hits(s.topK(Seq("beta"), 300)).map(_._1).toSet
+    assert(grp.keySet === union)
+    // singleton group scores exactly like the plain term query (same
+    // df, same tf, same pseudo-term formula = the BM25 contribution)
+    val single = hits(s.topK(Seq("alpha"), 300)).toMap
+    val singleGrp = hits(s.spanOrTopK(Seq("alpha"), 300)).toMap
+    assert(single.keySet === singleGrp.keySet)
+    single.foreach { case (d, sc) =>
+      assert(math.abs(sc - singleGrp(d)) <= 1e-12 * math.max(1.0, math.abs(sc)))
+    }
+  }
+
+  test("matchAll: every live doc at score 1.0, filter + tombstone aware") {
+    val corpus = randomDocs(50, 83L)
+    val idx = index(corpus, shardSize = 16L)
+    val s = new Searcher(spark, idx)
+    val all = s.matchAllTopK(100).collect()
+    assert(all.length === 50)
+    assert(all.map(_.getLong(0)).toSeq === (0L until 50L))
+    assert(all.forall(_.getDouble(1) == 1.0))
+    // k truncates in docId order
+    assert(s.matchAllTopK(7).collect().map(_.getLong(0)).toSeq === (0L until 7L))
+    // tombstones vanish
+    val s2 = new Searcher(spark, idx.withDeletes(Seq(3L, 4L).toDF("docId")))
+    assert(s2.matchAllTopK(100).collect().map(_.getLong(0)).toSet ===
+      ((0L until 50L).toSet -- Set(3L, 4L)))
+  }
+
   test("NEAR window grows monotonically and respects tombstones") {
     val corpus = randomDocs(120, 57L)
     val idx = index(corpus, shardSize = 32L)
