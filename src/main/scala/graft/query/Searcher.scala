@@ -1018,18 +1018,33 @@ final class Searcher(
     val qTerms = terms.distinct
     require(qTerms.nonEmpty && topN > 0)
     val meta = collectMeta(qTerms)
-    val m0 = matches(qTerms).toDF().groupBy("docId")
-      .agg(countDistinct("term").as("nMatched"))
+    // single-term: posting lists are docId-unique — the per-doc
+    // distinct/agg shuffle of the whole match set buys nothing
     val matched =
-      (if (requireAll) m0.where(col("nMatched") === qTerms.length) else m0)
-        .select("docId")
+      if (qTerms.length == 1) matches(qTerms).toDF().select("docId")
+      else {
+        val m0 = matches(qTerms).toDF().groupBy("docId")
+          .agg(countDistinct("term").as("nMatched"))
+        (if (requireAll) m0.where(col("nMatched") === qTerms.length) else m0)
+          .select("docId")
+      }
     val live = pruneShards(dlWithShard(docFilter), meta.shards).select("docId")
     matched.join(live, Seq("docId"), "left_semi")
-      .join(index.docs.select(col("docId"), col(facetField).as("value")),
-        Seq("docId"))
+      .join(facetSide(facetField, meta.shards), Seq("docId"))
       .groupBy("value").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("value")).limit(topN)
   }
+
+  /** (docId, value) side of a facet/group join, pruned to the query's
+    * touched doc-range shards — a selective query must not pay a
+    * corpus-wide stored-docs scan just to label its matches (at 8M
+    * docs the unpruned join put a 4 s floor under a rare-term facet). */
+  private def facetSide(field0: String, shards: Array[Long]): DataFrame =
+    pruneShards(
+      index.docs.select(col("docId"), col(field0).as("value"))
+        .withColumn("shard",
+          (col("docId") / lit(index.config.shardSizeDocs)).cast("long")),
+      shards).drop("shard")
 
   /** Grouped top-k (the Lucene grouping module's
     * TermFirstPassGroupingCollector surface): the best `kPerGroup`
@@ -1048,8 +1063,11 @@ final class Searcher(
     require(kPerGroup > 0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("value")).orderBy(desc("score"), asc("docId"))
+    // row_number + rank<=k is the WindowGroupLimit shape — Spark
+    // inserts per-partition group limits BEFORE the window shuffle,
+    // so each map task forwards at most k rows per group
     scoredDocs(terms, scorer, requireAll, docFilter = docFilter)
-      .join(index.docs.select(col("docId"), col(groupField).as("value")),
+      .join(facetSide(groupField, collectMeta(terms.distinct).shards),
         Seq("docId"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= kPerGroup)

@@ -88,4 +88,109 @@ object StreamingDedup {
         col("window.end").as("window_end"),
         col("n_docs"), col("n_tokens"))
   }
+
+  /** Streaming MinHash-LSH near-dup candidate edges — the streaming
+    * analogue of `TextPipeline.minhashCandidates`: every arriving doc
+    * computes its banded minhash signature ROW-LOCALLY (shingles are
+    * hashed directly — no global dictionary, so the map side is
+    * stateless; the batch path's dense shingle ids are a compression
+    * for corpus-wide joins, pointless here), and each band bucket
+    * keeps ONE owner docId as state. A later doc landing in an owned
+    * bucket emits the candidate edge (doc_id, dup_of, band); the
+    * owner emits nothing. Star edges per bucket keep the output
+    * linear in arrivals (the `simhashEdges` rule — no O(n²) pair
+    * explosion when n near-identical docs stream in), and any
+    * matching band suffices for candidacy, so downstream keep-list /
+    * connected-components logic consumes `distinct(doc_id, dup_of)`.
+    *
+    * Same LSH family as the batch operator: h_i(s) = ((2i+1)·s +
+    * 7919·i + 1) mod (2³¹−1) over distinct 3-token shingles, band key
+    * = base-1000003 fold of `rowsPerBand` minhashes. State size =
+    * one long per DISTINCT (band, bucket) — `stateTtl` bounds it for
+    * unbounded streams at the usual exactness trade (an owner purged
+    * by TTL re-registers instead of edging). Docs with no shingle
+    * (< 3 raw tokens) emit nothing and own nothing.
+    *
+    * Output (append-mode compatible): (doc_id, dup_of, band). */
+  def nearDupEdges(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      nHash: Int = 12,
+      rowsPerBand: Int = 3,
+      stateTtl: Option[String] = None): DataFrame = {
+    require(rowsPerBand >= 1 && rowsPerBand <= 3,
+      s"rowsPerBand must be 1..3 (base-1000003 fold overflows beyond), got $rowsPerBand")
+    require(nHash % rowsPerBand == 0,
+      s"nHash ($nHash) must be a multiple of rowsPerBand ($rowsPerBand)")
+    val P = 2147483647L // 2^31 − 1, the batch operator's modulus
+    val nBands = nHash / rowsPerBand
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val keyed = stream
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = graft.analysis.Analyzer.rawTokens(text).toArray
+        val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+        var i = 0
+        while (i + 2 < toks.length) {
+          seen += s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}"
+          i += 1
+        }
+        if (seen.isEmpty) Iterator.empty
+        else {
+          // minhash signature over direct shingle hashes
+          val mh = Array.fill(nHash)(Long.MaxValue)
+          seen.foreach { sh =>
+            var h = 1125899906842597L
+            var j = 0
+            while (j < sh.length) { h = 31 * h + sh.charAt(j); j += 1 }
+            val s = java.lang.Long.remainderUnsigned(
+              graft.tools.CodeCorpus.mix(h), P)
+            var k = 0
+            while (k < nHash) {
+              val hk = ((2L * k + 1L) * s + (k * 7919L + 1L)) % P
+              if (hk < mh(k)) mh(k) = hk
+              k += 1
+            }
+          }
+          (0 until nBands).iterator.map { b =>
+            var bkey = 0L
+            var r = 0
+            while (r < rowsPerBand) {
+              bkey = bkey * 1000003L + mh(b * rowsPerBand + r) % 1000003L
+              r += 1
+            }
+            (s"$b:$bkey", id, b)
+          }
+        }
+      }
+      .groupByKey(_._1)
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    keyed
+      .flatMapGroupsWithState[Long, (Long, Long, Int)](
+        OutputMode.Append(), timeoutConf) {
+        (_: String, rows: Iterator[(String, Long, Int)], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val arrivals = rows.toArray.sortBy(_._2) // batch-local det. order
+            if (arrivals.isEmpty) Iterator.empty
+            else {
+              val owner =
+                if (state.exists) state.get
+                else { state.update(arrivals.head._2); arrivals.head._2 }
+              stateTtl.foreach(state.setTimeoutDuration)
+              arrivals.iterator
+                .filter(_._2 != owner)
+                .map(a => (a._2, owner, a._3))
+            }
+          }
+      }
+      .toDF("doc_id", "dup_of", "band")
+  }
 }

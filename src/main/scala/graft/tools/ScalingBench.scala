@@ -199,8 +199,24 @@ object ScalingBench {
         "spannot_skew" -> (() => s.spanNotTopK("public", "class", 10,
           pre = 2, post = 2).collect()),
         "spannot_rare" -> (() => s.spanNotTopK("import", "id999", 10,
-          pre = 2, post = 2).collect()))
-      queries.map { case (name, fn) =>
+          pre = 2, post = 2).collect()),
+        // analytics family: facets decode the FULL match set by
+        // definition (common vs rare term prices the two regimes),
+        // grouped top-k rides the scoring join + a group-keyed window,
+        // regex pairs with prefix_id94 (same 111-term dictionary
+        // range; measures the residual regex filter cost)
+        "facet_skew" -> (() => s.facetCounts(Seq("public"), "lang", 10).collect()),
+        "facet_rare" -> (() => s.facetCounts(Seq("id999"), "lang", 10).collect()),
+        "grouped_mixed" -> (() => s.groupedTopK(Seq("id17", "return"), "lang", 3).collect()),
+        "regex_id94" -> (() => s.regexpTopK("id94[0-9]*", 10).collect()))
+      // GRAFT_QUERY_FILTER (regex over names) runs a subset — keeps a
+      // targeted campaign leg to minutes instead of re-timing all 30
+      val qrun = sys.env.get("GRAFT_QUERY_FILTER") match {
+        case Some(p) => val re = p.r
+          queries.filter(q => re.findFirstIn(q._1).isDefined)
+        case None => queries
+      }
+      qrun.map { case (name, fn) =>
         fn() // warm
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e6

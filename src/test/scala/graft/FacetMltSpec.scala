@@ -57,10 +57,15 @@ class FacetMltSpec extends AnyFunSuite {
     // topN truncates after the (count desc, value asc) sort
     assert(rows(s.facetCounts(Seq("alpha", "beta"), "lang", 1)) ===
       Seq(("de", 2L)))
+    // single-term path (no per-doc distinct shuffle): alpha in 0,1,3,5
+    assert(rows(s.facetCounts(Seq("alpha"), "lang", 10)) ===
+      Seq(("en", 2L), ("de", 1L), ("fr", 1L)))
     // tombstoned docs leave the counts
     val s2 = new Searcher(spark, idx.withDeletes(Seq(0L, 3L).toDF("docId")))
     assert(rows(s2.facetCounts(Seq("alpha", "beta"), "lang", 10)) ===
       Seq(("de", 1L), ("en", 1L), ("fr", 1L)))
+    assert(rows(s2.facetCounts(Seq("alpha"), "lang", 10)) ===
+      Seq(("en", 1L), ("fr", 1L)))
   }
 
   test("groupedTopK ≡ per-group slice of the global scored order") {

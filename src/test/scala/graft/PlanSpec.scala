@@ -115,6 +115,24 @@ class PlanSpec extends AnyFunSuite {
     assert(wplan.contains("LeftAnti"), wplan.take(3000))
   }
 
+  test("grouped top-k plans a WindowGroupLimit; facet docs side is shard-pruned") {
+    val s = new Searcher(spark, diskIndex)
+    val g = s.groupedTopK(Seq("merge"), "lang", 2)
+    g.collect()
+    val gplan = g.queryExecution.executedPlan.toString
+    // row_number + rank<=k must trigger Spark's group-limit rewrite:
+    // each map task forwards at most k rows per group into the window
+    // shuffle instead of the full scored match set
+    assert(gplan.contains("WindowGroupLimit"), gplan.take(2000))
+    // facet on a RARE term: the stored-docs join side must carry the
+    // shard prune filter, not a corpus-wide scan (id7 appears in one
+    // 128-doc shard of 300 docs)
+    val f = s.facetCounts(Seq("id7"), "lang", 5)
+    f.collect()
+    val fplan = f.queryExecution.executedPlan.toString
+    assert(fplan.contains("shard"), fplan.take(2000))
+  }
+
   test("whole-stage codegen covers the scoring pipeline") {
     val s = new Searcher(spark, diskIndex)
     val df = s.scoredDocs(Seq("merge"), graft.query.BM25())

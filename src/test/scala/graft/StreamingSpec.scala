@@ -435,4 +435,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterCfg.topK(Seq("qqunique"), 5).collect()
       .map(_.getLong(0)).toSet === Set(2000L))
   }
+
+  test("streaming minhash near-dup edges: bucket owners, star edges, cross-batch state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 30).map(i => if (i == 15) "CHANGED" else s"tok$i")
+      .mkString(" ")
+    val other = (1 to 30).map(i => s"other$i").mkString(" ")
+    val other2 = (1 to 30).map(i => s"misc$i").mkString(" ")
+    val input = MemoryStream[(Long, String)]
+    val edges = graft.streaming.StreamingDedup.nearDupEdges(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = edges.writeStream.format("memory")
+      .queryName("neardup_out").outputMode("append").start()
+    try {
+      // batch 1: owner + in-batch exact copy + one unrelated + no-shingle
+      input.addData(Seq((1L, base), (3L, base), (2L, other), (7L, "x y")))
+      q.processAllAvailable()
+      // batch 2: cross-batch exact copy, near-dup (1 of 30 tokens
+      // changed), another unrelated
+      input.addData(Seq((6L, base), (4L, nearDup), (5L, other2)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, dup_of, band FROM neardup_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      val pairs = rows.map(x => (x._1, x._2)).distinct.sortBy(_._1)
+      // exact copies edge to the batch-1 owner on EVERY band (12/3 = 4)
+      assert(rows.count(x => x._1 == 3L && x._2 == 1L) === 4)
+      assert(rows.count(x => x._1 == 6L && x._2 == 1L) === 4)
+      // near-dup shares ≥1 band bucket with the owner — and never
+      // edges to another duplicate (star edges only)
+      assert(pairs.contains((4L, 1L)))
+      assert(pairs.toSeq === Seq((3L, 1L), (4L, 1L), (6L, 1L)))
+      // unrelated and shingle-less docs emit nothing
+      assert(!rows.exists(x => Set(2L, 5L, 7L)(x._1) || Set(2L, 5L, 7L)(x._2)))
+    } finally q.stop()
+  }
 }
