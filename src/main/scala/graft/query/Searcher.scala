@@ -1020,7 +1020,7 @@ final class Searcher(
     val meta = collectMeta(qTerms)
     // single-term: posting lists are docId-unique — the per-doc
     // distinct/agg shuffle of the whole match set buys nothing
-    val matched =
+    val matched0 =
       if (qTerms.length == 1) matches(qTerms).toDF().select("docId")
       else {
         val m0 = matches(qTerms).toDF().groupBy("docId")
@@ -1028,23 +1028,42 @@ final class Searcher(
         (if (requireAll) m0.where(col("nMatched") === qTerms.length) else m0)
           .select("docId")
       }
-    val live = pruneShards(dlWithShard(docFilter), meta.shards).select("docId")
-    matched.join(live, Seq("docId"), "left_semi")
-      .join(facetSide(facetField, meta.shards), Seq("docId"))
+    // tombstones drop from the MATCHED side (match-set-sized anti-join)
+    val matched = index.deletes match {
+      case None => matched0
+      case Some(del) => matched0.join(
+        del.select(col(del.columns.head).cast("long").as("docId")),
+        Seq("docId"), "left_anti")
+    }
+    // docFilter applies to the label scan directly (it is a predicate
+    // over stored docs — same live semantics as the dl-side filter).
+    // The label join is the scale decision: |matched| ≤ Σ df is KNOWN
+    // from the already-collected metadata, so a selective facet
+    // broadcasts its match set and the 10^N-row stored-docs side never
+    // shuffles (map-side semi-join + partial count; only |values| rows
+    // move). Above the gate: plain shuffle join, the honest plan for a
+    // corpus-wide facet.
+    val estBytes = qTerms.map(t => meta.dfs.getOrElse(t, 0L)).sum * 16L
+    val m = if (estBytes <= dlBroadcastBytes) broadcast(matched) else matched
+    facetSide(facetField, meta.shards, docFilter)
+      .join(m, Seq("docId"), "left_semi")
       .groupBy("value").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("value")).limit(topN)
   }
 
   /** (docId, value) side of a facet/group join, pruned to the query's
-    * touched doc-range shards — a selective query must not pay a
-    * corpus-wide stored-docs scan just to label its matches (at 8M
-    * docs the unpruned join put a 4 s floor under a rare-term facet). */
-  private def facetSide(field0: String, shards: Array[Long]): DataFrame =
+    * touched doc-range shards (a term whose matches cluster in few
+    * shards must not pay a corpus-wide stored-docs scan to label
+    * them) with the optional doc predicate pushed into the scan. */
+  private def facetSide(field0: String, shards: Array[Long],
+      docFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val src = docFilter.map(index.docs.where).getOrElse(index.docs)
     pruneShards(
-      index.docs.select(col("docId"), col(field0).as("value"))
+      src.select(col("docId"), col(field0).as("value"))
         .withColumn("shard",
           (col("docId") / lit(index.config.shardSizeDocs)).cast("long")),
       shards).drop("shard")
+  }
 
   /** Grouped top-k (the Lucene grouping module's
     * TermFirstPassGroupingCollector surface): the best `kPerGroup`

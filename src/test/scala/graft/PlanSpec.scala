@@ -124,13 +124,15 @@ class PlanSpec extends AnyFunSuite {
     // each map task forwards at most k rows per group into the window
     // shuffle instead of the full scored match set
     assert(gplan.contains("WindowGroupLimit"), gplan.take(2000))
-    // facet on a RARE term: the stored-docs join side must carry the
-    // shard prune filter, not a corpus-wide scan (id7 appears in one
-    // 128-doc shard of 300 docs)
+    // facet on a RARE term: the stored-docs side must carry the shard
+    // prune filter AND stream through a broadcast semi-join of the
+    // match set (Σ df is under the gate) — the corpus-sized label scan
+    // never shuffles for a selective facet
     val f = s.facetCounts(Seq("id7"), "lang", 5)
     f.collect()
     val fplan = f.queryExecution.executedPlan.toString
     assert(fplan.contains("shard"), fplan.take(2000))
+    assert(fplan.contains("BroadcastHashJoin"), fplan.take(2000))
   }
 
   test("whole-stage codegen covers the scoring pipeline") {
