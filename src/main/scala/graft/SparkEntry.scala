@@ -57,6 +57,8 @@ object SparkEntry {
     "facet_lang" -> ((s, d) => E.facetLang(s, d)),
     "grouped_topk" -> ((s, d) => E.groupedTopk(s, d)),
     "mlt_topk" -> ((s, d) => E.mltTopk(s, d)),
+    "mlt_text" -> ((s, d) => E.mltText(s, d)),
+    "const_range" -> ((s, d) => E.constRange(s, d)),
     "explain_doc" -> ((s, d) => E.explainDoc(s, d)),
     "qstring_expansion" -> ((s, d) => E.qstringExpansion(s, d)),
     "bm25_boosted" -> ((s, d) => E.bm25Boosted(s, d)),

@@ -206,6 +206,19 @@ object EngineQueries {
   def mltTopk(s: SparkSession, dir: String): DataFrame =
     asTopK(searcher(s, dir).moreLikeThisTopK(42L, 10, maxQueryTerms = 5))
 
+  /** MoreLikeThis from EXTERNAL text (MoreLikeThis.like(Reader)):
+    * top-3 characteristic terms of a literal seed string, scoring-OR
+    * over the whole corpus. */
+  def mltText(s: SparkSession, dir: String): DataFrame =
+    asTopK(searcher(s, dir).moreLikeThisFromText(
+      "spark merge spark window scan", 10, maxQueryTerms = 3))
+
+  /** ConstantScoreRangeQuery over dictionary range [sl, sp): matching
+    * docs as a FILTER at constant score, docId order. */
+  def constRange(s: SparkSession, dir: String): DataFrame =
+    searcher(s, dir).constantScoreRangeTopK(Some("sl"), Some("sp"), 20)
+      .select(col("docId").cast("long").as("doc_id"), col("score"))
+
   /** Lucene explain() for doc 42 against {spark, merge, scan}:
     * per-term tf/df and BM25 contribution rows. */
   def explainDoc(s: SparkSession, dir: String): DataFrame =

@@ -439,6 +439,34 @@ SELECT doc_id, round(s, 4) AS score FROM scored
 WHERE doc_id <> 42
 ORDER BY s DESC, doc_id LIMIT 10"""),
 
+    // MoreLikeThis from external text: tokenize the literal seed with
+    // the same rules, top-3 terms by (tf desc, df asc, term asc),
+    // scoring-OR over the whole corpus (no seed doc to exclude)
+    "mlt_text" -> (TOK + s"""
+, seedraw AS (
+  SELECT unnest(regexp_split_to_array(
+    lower('spark merge spark window scan'), '[^a-z0-9_]+')) AS term),
+seed AS (
+  SELECT term, count(*)::BIGINT AS tf FROM seedraw
+  WHERE term <> '' AND term NOT IN ${Analyzer.stopWordsSqlList} GROUP BY 1),
+seeddf AS (
+  SELECT s.term, s.tf,
+         (SELECT count(DISTINCT e.doc_id) FROM emitted e
+          WHERE e.term = s.term)::BIGINT AS df
+  FROM seed s),
+mlt AS (SELECT term FROM seeddf
+        ORDER BY tf DESC, df ASC, term ASC LIMIT 3)""" +
+      bm25ScoredPred("term IN (SELECT term FROM mlt)") + """
+SELECT doc_id, round(s, 4) AS score FROM scored
+ORDER BY s DESC, doc_id LIMIT 10"""),
+
+    // ConstantScoreRangeQuery [sl, sp): match-as-filter, docId order
+    "const_range" -> (TOK + """
+SELECT doc_id::BIGINT AS doc_id, 1.0::DOUBLE AS score FROM
+  (SELECT DISTINCT doc_id FROM emitted
+   WHERE term >= 'sl' AND term < 'sp')
+ORDER BY doc_id LIMIT 20"""),
+
     // Lucene explain() of doc 42 vs {merge, scan, spark}: per-term
     // tf/df and the BM25 contribution, term order
     "explain_doc" -> (TOK + """

@@ -1113,18 +1113,93 @@ final class Searcher(
       minTermFreq: Int = 1,
       scorer: Scorer = BM25(),
       includeSeed: Boolean = false): DataFrame = {
-    require(maxQueryTerms > 0 && minTermFreq >= 1)
     val tv = docTermVector(docId).select("term", "tf").collect()
       .map(r => (r.getString(0), r.getLong(1)))
-      .filter(_._2 >= minTermFreq)
+    moreLikeThis(tv, k, maxQueryTerms, minTermFreq, scorer,
+      excludeDocId = if (includeSeed) None else Some(docId))
+  }
+
+  /** MoreLikeThis from EXTERNAL text (Lucene MoreLikeThis.like(Reader)
+    * — the seed never has to be in the index, and no stored content is
+    * required): analyze with the index's own analyzer, then the same
+    * selection + WAND plan as the docId form. */
+  def moreLikeThisFromText(
+      text: String,
+      k: Int,
+      maxQueryTerms: Int = 5,
+      minTermFreq: Int = 1,
+      scorer: Scorer = BM25()): DataFrame = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    if (text != null)
+      index.config.analyzer.foreachEmitted(text) { (t, _) =>
+        m.update(t, m.getOrElse(t, 0L) + 1L)
+      }
+    moreLikeThis(m.toArray, k, maxQueryTerms, minTermFreq, scorer, None)
+  }
+
+  private def moreLikeThis(
+      termTfs: Array[(String, Long)],
+      k: Int,
+      maxQueryTerms: Int,
+      minTermFreq: Int,
+      scorer: Scorer,
+      excludeDocId: Option[Long]): DataFrame = {
+    require(maxQueryTerms > 0 && minTermFreq >= 1)
+    val tv = termTfs.filter(_._2 >= minTermFreq)
     if (tv.isEmpty) return emptyHits
     val dfs = docFreqs(tv.map(_._1).toSeq)
     val sel = tv.sortBy { case (t, tf) => (-tf, dfs.getOrElse(t, 0L), t) }
       .take(maxQueryTerms).map(_._1).toSeq.sorted
-    val filt =
-      if (includeSeed) None
-      else Some(col("docId") =!= docId)
-    topKWand(sel, k, scorer, docFilter = filt)
+    topKWand(sel, k, scorer,
+      docFilter = excludeDocId.map(id => col("docId") =!= id))
+  }
+
+  /** Constant-score query (Lucene ConstantScoreQuery /
+    * ConstantScoreRangeQuery — the 3.0-era CONSTANT_SCORE rewrite of
+    * every MultiTermQuery): docs matching ANY dictionary term under
+    * `pred` at score = `boost`, docId order — matching as a FILTER,
+    * deliberately skipping the per-term idf arithmetic and its
+    * TooManyClauses cap (the whole reason the rewrite exists). The
+    * match set decodes only the predicate terms' postings; tombstones
+    * and `docFilter` apply through the live dl side. */
+  def constantScoreTopK(
+      pred: org.apache.spark.sql.Column,
+      k: Int,
+      boost: Double = 1.0,
+      docFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    // the predicate pushes straight into the POSTINGS scan — no
+    // dictionary collect, no expansion list on the driver: a
+    // constant-score query has no per-term state, so an arbitrarily
+    // wide predicate streams through one decode + distinct
+    val prows = index.postings.where(col("field") === field && pred)
+    val shards = prows.select("shard").distinct()
+      .collect().map(_.getLong(0)).sorted // ≤ |touched shards|
+    if (shards.isEmpty) return emptyHits
+    val matched = prows.as[PostingRow].flatMap { r =>
+      val v = new PostingsCodec.BlobView(r.blob)
+      (0 until v.nBlocks).iterator.flatMap(i => v.decodeDocTf(i).iterator)
+        .map(_._1)
+    }.toDF("docId").distinct()
+    val live = pruneShards(dlWithShard(docFilter), shards).select("docId")
+    matched.join(live, Seq("docId"), "left_semi")
+      .withColumn("score", lit(boost))
+      .orderBy(asc("docId")).limit(k)
+      .select("docId", "score")
+  }
+
+  /** Constant-score term-range form (Lucene ConstantScoreRangeQuery). */
+  def constantScoreRangeTopK(
+      lo: Option[String],
+      hi: Option[String],
+      k: Int,
+      includeLo: Boolean = true,
+      includeHi: Boolean = false,
+      boost: Double = 1.0): DataFrame = {
+    require(lo.nonEmpty || hi.nonEmpty, "unbounded on both ends")
+    val preds = Seq(
+      lo.map(v => if (includeLo) col("term") >= v else col("term") > v),
+      hi.map(v => if (includeHi) col("term") <= v else col("term") < v)).flatten
+    constantScoreTopK(preds.reduce(_ && _), k, boost)
   }
 
   /** Score explanation for one (query, doc) — Lucene

@@ -90,6 +90,9 @@ object Demo {
     show("facet   ", s.facetCounts(terms, "lang", 5))
     show("grouped ", s.groupedTopK(terms, "lang", 2))
     show("mlt     ", s.moreLikeThisTopK(0L, 5))
+    show("mlttext ", s.moreLikeThisFromText(terms.mkString(" "), 5))
+    show("constsc ", s.constantScoreTopK(
+      org.apache.spark.sql.functions.col("term") === terms.head, 3))
     show("explain ", s.explainDoc(terms, 0L))
     show("qexpand ", s.search(s"+${terms.head.take(2)}* ${terms(1)}", 5))
     show("tboost  ", s.topKWand(terms, 5, boosts = Map(terms(1) -> 3.0)))

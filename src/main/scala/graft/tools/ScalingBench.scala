@@ -208,7 +208,14 @@ object ScalingBench {
         "facet_skew" -> (() => s.facetCounts(Seq("public"), "lang", 10).collect()),
         "facet_rare" -> (() => s.facetCounts(Seq("id999"), "lang", 10).collect()),
         "grouped_mixed" -> (() => s.groupedTopK(Seq("id17", "return"), "lang", 3).collect()),
-        "regex_id94" -> (() => s.regexpTopK("id94[0-9]*", 10).collect()))
+        "regex_id94" -> (() => s.regexpTopK("id94[0-9]*", 10).collect()),
+        // external-text MLT (no stored content needed at 8M) and the
+        // constant-score filter over the same 111-term id94 range as
+        // the prefix/regex anchors
+        "mlt_ext" -> (() => s.moreLikeThisFromText(
+          "public class return import x5 id17 id17", 10, maxQueryTerms = 4).collect()),
+        "constscore_id94" -> (() => s.constantScoreRangeTopK(
+          Some("id94"), Some("id95"), 10).collect()))
       // GRAFT_QUERY_FILTER (regex over names) runs a subset — keeps a
       // targeted campaign leg to minutes instead of re-timing all 30
       val qrun = sys.env.get("GRAFT_QUERY_FILTER") match {

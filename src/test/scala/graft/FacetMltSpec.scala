@@ -126,6 +126,51 @@ class FacetMltSpec extends AnyFunSuite {
     assert(one.map(_._1).toSet === Set(1L))
   }
 
+  test("moreLikeThisFromText ≡ docId form on the same seed content") {
+    val corpus = randomDocs(100, 103L)
+    val idx = index(corpus, shardSize = 32L)
+    val s = new Searcher(spark, idx)
+    val seedText = corpus.find(_._1 == 7L).get._2
+    // external-text MLT with the seed's own content ranks exactly like
+    // the docId form that KEEPS the seed (like(Reader) has no doc to
+    // exclude)
+    val fromText = hits(s.moreLikeThisFromText(seedText, 20, maxQueryTerms = 3))
+    val fromDoc = hits(s.moreLikeThisTopK(7L, 20, maxQueryTerms = 3,
+      includeSeed = true))
+    assert(fromText.nonEmpty)
+    assert(fromText === fromDoc)
+    // unknown-vocabulary text matches nothing
+    assert(hits(s.moreLikeThisFromText("qq ww ee", 10)).isEmpty)
+  }
+
+  test("constantScore: filter semantics, boost, range form, tombstones") {
+    val idx = index(Seq(
+      (0L, "alpha beta", "en"),
+      (1L, "gamma", "en"),
+      (2L, "beta delta", "de"),
+      (3L, "zeta", "fr"),
+      (4L, "beta", "fr")))
+    val s = new Searcher(spark, idx)
+    import org.apache.spark.sql.functions.{col => c}
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // docs containing beta, docId order, constant 1.0 — no idf anywhere
+    assert(ids(s.constantScoreTopK(c("term") === "beta", 10)) ===
+      Seq((0L, 1.0), (2L, 1.0), (4L, 1.0)))
+    // boost scales the constant; k truncates in docId order
+    assert(ids(s.constantScoreTopK(c("term") === "beta", 2, boost = 2.5)) ===
+      Seq((0L, 2.5), (2L, 2.5)))
+    // range form [b, e): beta + delta
+    assert(ids(s.constantScoreRangeTopK(Some("b"), Some("e"), 10)) ===
+      Seq((0L, 1.0), (2L, 1.0), (4L, 1.0)))
+    // disjoint range: nothing
+    assert(ids(s.constantScoreRangeTopK(Some("x"), Some("y"), 10)).isEmpty)
+    // tombstones drop through the live side
+    val s2 = new Searcher(spark, idx.withDeletes(Seq(2L).toDF("docId")))
+    assert(ids(s2.constantScoreTopK(c("term") === "beta", 10)) ===
+      Seq((0L, 1.0), (4L, 1.0)))
+  }
+
   test("explainDoc: rows sum to the doc's query score; deletes explain empty") {
     val corpus = randomDocs(80, 97L)
     val idx = index(corpus, shardSize = 16L)
