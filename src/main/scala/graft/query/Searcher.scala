@@ -1172,16 +1172,27 @@ final class Searcher(
     // constant-score query has no per-term state, so an arbitrarily
     // wide predicate streams through one decode + distinct
     val prows = index.postings.where(col("field") === field && pred)
-    val shards = prows.select("shard").distinct()
-      .collect().map(_.getLong(0)).sorted // ≤ |touched shards|
-    if (shards.isEmpty) return emptyHits
+    // one metadata collect: touched shards + Σ df together (columns
+    // only — blob pages stay untouched)
+    val metaRows = prows.select("shard", "df").collect()
+    if (metaRows.isEmpty) return emptyHits
+    val shards = metaRows.map(_.getLong(0)).distinct.sorted
+    val totDf = metaRows.map(_.getLong(1)).sum
     val matched = prows.as[PostingRow].flatMap { r =>
       val v = new PostingsCodec.BlobView(r.blob)
       (0 until v.nBlocks).iterator.flatMap(i => v.decodeDocTf(i).iterator)
         .map(_._1)
     }.toDF("docId").distinct()
+    // bounded match set (Σ df known) broadcasts into a semi-join
+    // against the live side — the second corpus-sized shuffle the
+    // first cut paid (matched ⋈ live both exchanged) disappears; same
+    // gate/fallback shape as facetCounts
     val live = pruneShards(dlWithShard(docFilter), shards).select("docId")
-    matched.join(live, Seq("docId"), "left_semi")
+    val joined =
+      if (totDf * 16L <= dlBroadcastBytes)
+        live.join(broadcast(matched), Seq("docId"), "left_semi")
+      else matched.join(live, Seq("docId"), "left_semi")
+    joined
       .withColumn("score", lit(boost))
       .orderBy(asc("docId")).limit(k)
       .select("docId", "score")
