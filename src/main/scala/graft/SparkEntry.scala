@@ -59,6 +59,9 @@ object SparkEntry {
     "mlt_topk" -> ((s, d) => E.mltTopk(s, d)),
     "mlt_text" -> ((s, d) => E.mltText(s, d)),
     "const_range" -> ((s, d) => E.constRange(s, d)),
+    "sample_det" -> ((s, d) => E.sampleDet(s, d)),
+    "sample_strat" -> ((s, d) => E.sampleStrat(s, d)),
+    "pack_bins" -> ((s, d) => E.packBins(s, d)),
     "explain_doc" -> ((s, d) => E.explainDoc(s, d)),
     "qstring_expansion" -> ((s, d) => E.qstringExpansion(s, d)),
     "bm25_boosted" -> ((s, d) => E.bm25Boosted(s, d)),

@@ -523,6 +523,26 @@ object EngineQueries {
       cand, emb, TextPipeline.queryVec(emb, 0L), alpha = 0.5, k = k))
   }
 
+  /** Deterministic exact-rate sample: keep 250/1000 by modular
+    * residue over doc_id (salt 17). */
+  def sampleDet(s: SparkSession, dir: String): DataFrame =
+    TextPipeline.sampleDeterministic(
+      TextPipeline.documents(s, dir), "doc_id", num = 250, den = 1000, salt = 17)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  /** Stratified sample: keep 500/1000 of 'en', 100/1000 of 'de',
+    * nothing else. */
+  def sampleStrat(s: SparkSession, dir: String): DataFrame =
+    TextPipeline.sampleStratified(
+      TextPipeline.documents(s, dir), "doc_id", "lang",
+      Map("en" -> 500L, "de" -> 100L), den = 1000)
+      .select(col("doc_id"), col("lang"))
+
+  /** Token-budget packing: contiguous-fill bins of 2000 emitted
+    * tokens over doc_id order. */
+  def packBins(s: SparkSession, dir: String): DataFrame =
+    TextPipeline.packSequences(TextPipeline.documents(s, dir), budget = 2000)
+
   /** Multimodal plumbing demo: text → binary column → byte-level
     * metadata (frame count at 64-byte frames, header byte). The real
     * decode step is environment-stubbed (no image/audio libs in this

@@ -467,6 +467,29 @@ SELECT doc_id::BIGINT AS doc_id, 1.0::DOUBLE AS score FROM
    WHERE term >= 'sl' AND term < 'sp')
 ORDER BY doc_id LIMIT 20"""),
 
+    // Deterministic modular sampling: residue bijection mod 1000
+    // (2654435761 mod 1000 = 761, coprime to 1000), keep < 250
+    "sample_det" -> """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE ((doc_id % 1000) * 761 + 17) % 1000 < 250""",
+
+    // Stratified: same residue, per-lang numerators over den 1000
+    "sample_strat" -> """
+SELECT doc_id, lang FROM documents
+WHERE ((doc_id % 1000) * 761) % 1000 <
+  CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 100 ELSE 0 END""",
+
+    // Token-budget packing: bin = floor(tokens-before / 2000) over
+    // ascending doc_id (contiguous-fill contract)
+    "pack_bins" -> (TOK + """
+, o AS (
+  SELECT doc_id, dl::BIGINT AS n_tokens,
+         sum(dl::BIGINT) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM dl)
+SELECT doc_id, n_tokens, ((cum - n_tokens) // 2000)::BIGINT AS bin
+FROM o"""),
+
     // Lucene explain() of doc 42 vs {merge, scan, spark}: per-term
     // tf/df and the BM25 contribution, term order
     "explain_doc" -> (TOK + """
