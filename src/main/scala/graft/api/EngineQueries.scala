@@ -37,12 +37,13 @@ object EngineQueries {
             untokenized = Seq("lang", "source"),
             IndexConfig(shardSizeDocs = 1024))
           idx.cache()
-          idx.postings.count() // materialize once
-          // the term dictionary is part of the index (the reference
-          // maintains it at write time), not a per-query aggregation:
-          // materialize it with the build, so the first dictionary
-          // query (dict_terms) reads the cache instead of paying the
-          // postings groupBy (bench: 0.33 s -> cached scan)
+          // ONE materialization action: termStats aggregates over the
+          // cache-marked postings, so scanning it populates the
+          // postings cache en route AND materializes the dictionary
+          // (the reference maintains the term dictionary at write
+          // time; dict_terms then reads the cache) — the separate
+          // postings.count() pass this replaces was a second cold
+          // full-pipeline action for the same blocks
           idx.termStats.count()
           idx
         })
@@ -369,8 +370,11 @@ object EngineQueries {
         appliedCache.getOrElseUpdate(dir, {
           val idx = graft.build.Deletes.applied(
             s, index(s, dir).withDeletes(deleteSet(s, dir)))
+          // cache-marked, NOT eagerly counted: the first query's own
+          // postings scan (collectMeta) materializes the cache en
+          // route — an eager count() here was one extra full
+          // decode+re-encode pass inside the same timed query
           idx.cache()
-          idx.postings.count()
           idx
         })
       }
@@ -411,8 +415,10 @@ object EngineQueries {
             "doc_id", "text")
           StreamingIndexer.compact(s, root)
           val idx = StreamingIndexer.loadMerged(s, root)
+          // cache-marked only — loadMerged now resolves to the
+          // compacted snapshot (plain parquet reads), and the first
+          // query's scan populates the cache without a separate pass
           idx.cache()
-          idx.postings.count()
           idx
         })
       }

@@ -1172,12 +1172,20 @@ final class Searcher(
     // constant-score query has no per-term state, so an arbitrarily
     // wide predicate streams through one decode + distinct
     val prows = index.postings.where(col("field") === field && pred)
-    // one metadata collect: touched shards + Σ df together (columns
-    // only — blob pages stay untouched)
-    val metaRows = prows.select("shard", "df").collect()
-    if (metaRows.isEmpty) return emptyHits
-    val shards = metaRows.map(_.getLong(0)).distinct.sorted
-    val totDf = metaRows.map(_.getLong(1)).sum
+    // one metadata collect, AGGREGATED in Spark: the driver receives a
+    // single (shard set, Σ df) row — never per-(term, shard) rows. The
+    // open-ended predicate is the whole point of the constant-score
+    // rewrite, so its expansion can be vocabulary-sized: a broad
+    // predicate over a 100-TB corpus has millions of matching terms ×
+    // their shards, but the DISTINCT shard set is bounded by
+    // ceil(N/shardSize) (~10^6 longs at 10^12 docs) regardless of how
+    // many terms match. Columns only — blob pages stay untouched.
+    val metaRow = prows
+      .agg(collect_set("shard").as("shards"), sum("df").as("totDf"))
+      .collect().head
+    if (metaRow.isNullAt(1)) return emptyHits
+    val shards = metaRow.getSeq[Long](0).toArray.sorted
+    val totDf = metaRow.getLong(1)
     val matched = prows.as[PostingRow].flatMap { r =>
       val v = new PostingsCodec.BlobView(r.blob)
       (0 until v.nBlocks).iterator.flatMap(i => v.decodeDocTf(i).iterator)

@@ -206,10 +206,25 @@ object StreamingIndexer {
     val batchId = math.max(used.maxOption.map(_ + 1L).getOrElse(0L), floor)
     writeIngestConfig(root, effCfg)
     val idx = IndexBuilder.fromText(spark, docs, idCol, textCol, untokenized, effCfg)
-    TableFormat.write(spark, idx.docs, root, s"docs-b$batchId",
-      snapshotId = batchId + 1)
-    TableFormat.write(spark, idx.postings, root, s"postings-b$batchId",
-      snapshotId = batchId + 1)
+    // the two segment tables are independent — write them as
+    // concurrent Spark jobs (same two-chain shape as IndexTables.write)
+    // so the docs write's driver tail (footer lineage, commit) overlaps
+    // the postings build instead of serializing before it. Completeness
+    // semantics are unchanged: a batch is visible only when BOTH
+    // manifests exist (completeBatches), so a crash mid-pair still
+    // leaves an invisible half segment either way.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fDocs = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = { TableFormat.write(spark, idx.docs, root,
+          s"docs-b$batchId", snapshotId = batchId + 1); () }
+      })
+      val fPost = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = { TableFormat.write(spark, idx.postings, root,
+          s"postings-b$batchId", snapshotId = batchId + 1); () }
+      })
+      fDocs.get(); fPost.get()
+    } finally pool.shutdown()
     batchId
   }
 
@@ -515,8 +530,16 @@ object StreamingIndexer {
       cfg: IndexConfig = IndexConfig()): InvertedIndex = {
     val base = latestCompactionInfo(root)
     val minBatch = base.map(_.batch + 1).getOrElse(0L)
-    val idx = mergeSnapshot(spark, root, base.map(_.dir),
-      completeBatches(root).filter(_ >= minBatch), cfg)
+    val newBatches = completeBatches(root).filter(_ >= minBatch)
+    // Fast path: everything is inside the newest compaction — its
+    // committed tables ARE the merged index (postings one row per key,
+    // termStats/stats derived from the written tables at compact
+    // time), so re-running the merge shuffle + termStats groupBy over
+    // them is a full-pass no-op; load the snapshot directly.
+    val idx =
+      if (newBatches.isEmpty && base.nonEmpty)
+        graft.table.IndexTables.load(spark, s"$root/${base.get.dir}")
+      else mergeSnapshot(spark, root, base.map(_.dir), newBatches, cfg)
     // delete tables newer than what the base compaction physically
     // applied ride along as TOMBSTONES: every query path anti-joins
     // them (Searcher live-dl side) until the next compact() absorbs
