@@ -133,7 +133,7 @@ object QueryParser {
           var j = next + 1
           while (j < n && query.charAt(j).isDigit) j += 1
           if (j > next + 1) {
-            slop = query.substring(next + 1, j).toInt
+            slop = lenientInt(query.substring(next + 1, j))
             next = j
           } else next = j // bare '~': ignored (Lucene lenient parse)
         }
@@ -142,7 +142,7 @@ object QueryParser {
           var j = next + 1
           while (j < n && (query.charAt(j).isDigit || query.charAt(j) == '.')) j += 1
           if (j > next + 1) {
-            boost = query.substring(next + 1, j).toDouble
+            boost = lenientDouble(query.substring(next + 1, j), 1.0)
             next = j
           } else next = j
         }
@@ -164,7 +164,7 @@ object QueryParser {
           case "NOT" if mod < 0 => mod = NOT
           case _ =>
             val (bare, boost) = word match {
-              case BoostRx(b, f) => (b, f.toDouble)
+              case BoostRx(b, f) => (b, lenientDouble(f, 1.0))
               case _ => (word, 1.0)
             }
             addClause(clauses, conjAnd, mod, bare, isPhrase = false,
@@ -223,6 +223,17 @@ object QueryParser {
   private val FuzzyRx = "^([^*?~]+)~([0-9]*)$".r
   private val BoostRx = "^(.+)\\^([0-9]+(?:\\.[0-9]+)?)$".r
 
+  /** Lenient numeric suffix parses (documented Lucene-lenient parse
+    * contract): an overlong digit run ("a b"~99999999999) or a
+    * malformed decimal ("x^1.2.3" never matches BoostRx, but guard
+    * anyway) must not throw out of `search()` — cap/fall back instead.
+    * Digit-only inputs ≤ 9 chars parse exactly; longer runs saturate. */
+  private def lenientInt(digits: String): Int =
+    if (digits.length <= 9) digits.toInt else Int.MaxValue
+
+  private def lenientDouble(s: String, dflt: Double): Double =
+    try s.toDouble catch { case _: NumberFormatException => dflt }
+
   /** Classify a raw clause word as a multi-term (expansion) clause per
     * the classic syntax: trailing `~`/`~N` → fuzzy, a single trailing
     * `*` with no other wildcard → prefix, any other `*`/`?` mix with
@@ -233,7 +244,7 @@ object QueryParser {
   private def classifyExpansion(word: String): ExpansionClause = word match {
     case FuzzyRx(base, edits) =>
       ExpansionClause(ExpansionKind.Fuzzy, base.toLowerCase,
-        if (edits.isEmpty) 2 else math.min(edits.toInt, 2))
+        if (edits.isEmpty) 2 else math.min(lenientInt(edits), 2))
     case w if w.exists(c => c == '*' || c == '?') &&
         w.exists(c => c != '*' && c != '?') =>
       val lw = w.toLowerCase

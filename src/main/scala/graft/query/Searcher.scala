@@ -213,6 +213,12 @@ final class Searcher(
     // a hit needs EVERY must term; the remaining (should) terms add
     // score when present. must terms score too, so they join the query
     // term set; must == all terms degenerates to requireAll.
+    // DUPLICATE-CLAUSE FOLD (here and in topKWand): a term passed in
+    // BOTH `terms` and `must` is folded into a single MUST clause — it
+    // scores once and, because minShouldMatch counts OPTIONAL clauses
+    // only, it does NOT count toward the mm tally. Lucene would keep
+    // the two clauses separate (score twice, SHOULD copy counts toward
+    // mm); same deliberate fold as documented for duplicate boosts.
     val qTerms = (terms ++ must).distinct.sorted
     val meta = collectMeta(qTerms)
     val dfs = meta.dfs

@@ -111,6 +111,16 @@ object StreamingDedup {
     * by TTL re-registers instead of edging). Docs with no shingle
     * (< 3 raw tokens) emit nothing and own nothing.
     *
+    * CANDIDATE edges, not verified pairs: besides the inherent LSH
+    * false positives (distinct signatures agreeing on one band), the
+    * base-1000003 fold maps each band's minhash vector into one long,
+    * so distinct band VECTORS can collide into one bucket. Consumers
+    * acting on an edge (dropping a doc, merging groups) must
+    * similarity-verify it first — exactly like the batch pipeline,
+    * where `simhashPairs`/`ngramJaccardPairs` Hamming/Jaccard-verify
+    * their banded candidates before emitting. The batch CC operator
+    * (`dedupGroupsFromPairs`) consumes verified pairs only.
+    *
     * Output (append-mode compatible): (doc_id, dup_of, band). */
   def nearDupEdges(
       stream: DataFrame,

@@ -64,8 +64,14 @@ object TableFormat {
     // stale dir and redo the write — keeps resume idempotent.
     if (Files.exists(dataDir)) deleteRecursively(dataDir)
     // snappy, not zstd (Spark 4 default): posting blocks are already
-    // delta+varint packed — zstd burns ~2-8× write CPU for little gain
-    df.write.mode("overwrite").option("compression", "snappy")
+    // delta+varint packed — zstd burns ~2-8× write CPU for little gain.
+    // REBALANCE (AQE) sizes the output files adaptively: a small table
+    // lands as one file instead of one per upstream partition (32 tiny
+    // files per table cost a footer read each at every manifest commit
+    // and every load), while a large table splits at the advisory
+    // partition size — the guide-§6 output-sizing shape at any scale.
+    df.hint("rebalance").write.mode("overwrite")
+      .option("compression", "snappy")
       .parquet(tmp.toString)
     // lineage: per-file row counts straight from the parquet footers
     // (driver-side metadata reads — no Spark job)

@@ -26,13 +26,13 @@ object JacProbe {
       val t0 = System.nanoTime(); val n = body
       println(f"[jacprobe] $tag%-12s ${(System.nanoTime() - t0) / 1e9}%6.2f s (rows=$n)")
     }
-    for (rep <- 1 to 2) {
-      t("current") { TextPipeline.ngramJaccardPairs(docs, tau).count() }
+    for (rep <- 1 to 3) {
       t("ckpt") {
         val arrs = TextPipeline.shingleArrays(docs).localCheckpoint()
         val cand = TextPipeline.prefixCandidates(arrs, tau)
         verify(cand, arrs).count()
       }
+      t("current") { TextPipeline.ngramJaccardPairs(docs, tau).count() }
     }
     spark.stop()
   }

@@ -209,4 +209,33 @@ class FacetMltSpec extends AnyFunSuite {
     val gammaOnly = hits(s.topKWand(Seq("gamma"), 20))
     assert(cls === gammaOnly)
   }
+
+  test("constantScore: open-ended predicate stays driver-bounded and exact") {
+    // The constant-score rewrite exists for UNBOUNDED expansions; the
+    // metadata collect must aggregate in Spark (one (shard-set, Σdf)
+    // row to the driver — VERDICT r5 #1), never per-(term, shard)
+    // rows. Exercise the widest possible predicate — every dictionary
+    // term matches — and pin the result: every live doc with ≥1
+    // emitted term, docId order, constant score.
+    val corpus = randomDocs(120, 1234L)
+    val idx = index(corpus, shardSize = 16L)
+    val s = new Searcher(spark, idx)
+    import org.apache.spark.sql.functions.{col => c, length => len}
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val wide = ids(s.constantScoreTopK(len(c("term")) >= 0, 200))
+    // every corpus doc has ≥5 vocab words → all 120 docs match
+    assert(wide === (0L until 120L).map(d => (d, 1.0)))
+    // tombstones still apply through the live side on the wide path
+    val s2 = new Searcher(spark, idx.withDeletes(Seq(3L, 77L).toDF("docId")))
+    val wide2 = ids(s2.constantScoreTopK(len(c("term")) >= 0, 200))
+    assert(wide2 === (0L until 120L).filterNot(d => d == 3L || d == 77L)
+      .map(d => (d, 1.0)))
+    // wide ≡ union of narrow per-term constant-score sets
+    val vocabIds = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+      .flatMap(t => ids(s.constantScoreTopK(c("term") === t, 200)).map(_._1))
+      .distinct.sorted
+    assert(wide.map(_._1) === vocabIds)
+  }
 }

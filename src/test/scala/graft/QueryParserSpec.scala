@@ -89,4 +89,24 @@ class QueryParserSpec extends AnyFunSuite {
     // only prohibited clauses → no scoring clause
     assert(!p("-alpha -\"hash join\"").hasScoring)
   }
+
+  test("lenient numeric suffixes: overlong digit runs and malformed boosts never throw") {
+    import graft.query.{ExpansionClause, ExpansionKind}
+    // phrase slop with an over-Int digit run saturates instead of
+    // throwing NumberFormatException out of search()
+    assert(p("\"hash join\"~99999999999") ===
+      ParsedQuery(Nil, Nil, Nil, Nil,
+        Seq(PhraseClause(Seq("hash", "join"), Int.MaxValue)), Nil))
+    // fuzzy edit-count digit run: caps at the 2-edit maximum
+    assert(p("roam~99999999999").shouldExpansions ===
+      Seq(ExpansionClause(ExpansionKind.Fuzzy, "roam", 2)))
+    // malformed phrase boost (two dots) falls back to 1.0, keeps the slop
+    assert(p("\"hash join\"~2^1.2.3") ===
+      ParsedQuery(Nil, Nil, Nil, Nil,
+        Seq(PhraseClause(Seq("hash", "join"), 2, 1.0)), Nil))
+    // in-range values still parse exactly
+    assert(p("\"hash join\"~3^2.5") ===
+      ParsedQuery(Nil, Nil, Nil, Nil,
+        Seq(PhraseClause(Seq("hash", "join"), 3, 2.5)), Nil))
+  }
 }
