@@ -980,9 +980,13 @@ object IndexBuilder {
     val offsets = counts.map { case (pid, n) =>
       val o = (pid, off); off += n; o
     }.toMap
-    val offsetUdf = udf((pid: Long) => offsets(pid))
+    // codegen'd literal-map lookup, not a Scala UDF: this projection
+    // runs over every row being id-assigned (vocabulary-sized for
+    // denseIds callers), and a row-at-a-time UDF there breaks
+    // WholeStageCodegen for one broadcast-sized map probe
     sorted
-      .withColumn("docId", offsetUdf(col("_pid")) + col("_local"))
+      .withColumn("docId",
+        element_at(typedlit(offsets), col("_pid")) + col("_local"))
       .drop("_mid", "_pid", "_local")
   }
 

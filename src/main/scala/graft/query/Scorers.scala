@@ -27,6 +27,16 @@ sealed trait Scorer extends Serializable {
   def upperBound(maxTf: Double, df: Double, stats: CorpusStats): Double
   /** Doc-level final factor given matched-term count (coord etc.). */
   def docFactor(nMatched: Int, queryDfs: Seq[Double], stats: CorpusStats): Double
+  /** True when docFactor ≡ 1.0 for every input — lets the exhaustive
+    * scoring plan skip the factor multiplication entirely (no UDF, no
+    * extra expression) without changing any score bit. */
+  def docFactorIdentity: Boolean = false
+  /** docFactor as a Catalyst Column over the matched-term count —
+    * MUST replicate docFactor's arithmetic order exactly (bit-for-bit
+    * score parity between the Column and Scala paths is asserted in
+    * tests). Keeps the per-doc factor inside WholeStageCodegen instead
+    * of a row-at-a-time Scala UDF on the matched-doc frame. */
+  def docFactorCol(nMatched: Column, queryDfs: Seq[Double], stats: CorpusStats): Column
 }
 
 /** Field-boost wrapper (reference: per-field boost config,
@@ -45,6 +55,9 @@ final case class Boosted(inner: Scorer, boost: Double) extends Scorer {
     inner.upperBound(maxTf, df, stats) * boost
   override def docFactor(nMatched: Int, queryDfs: Seq[Double], stats: CorpusStats): Double =
     inner.docFactor(nMatched, queryDfs, stats)
+  override def docFactorIdentity: Boolean = inner.docFactorIdentity
+  override def docFactorCol(nMatched: Column, queryDfs: Seq[Double], stats: CorpusStats): Column =
+    inner.docFactorCol(nMatched, queryDfs, stats)
 }
 
 final case class BM25(k1: Double = 1.2, b: Double = 0.75) extends Scorer {
@@ -69,6 +82,9 @@ final case class BM25(k1: Double = 1.2, b: Double = 0.75) extends Scorer {
     idf(df, stats.numDocs.toDouble) * maxTf / (maxTf + k1 * (1.0 - b))
 
   override def docFactor(nMatched: Int, queryDfs: Seq[Double], stats: CorpusStats): Double = 1.0
+  override def docFactorIdentity: Boolean = true
+  override def docFactorCol(nMatched: Column, queryDfs: Seq[Double], stats: CorpusStats): Column =
+    lit(1.0)
 }
 
 /** Lucene 3.0 DefaultSimilarity with norms ≡ 1:
@@ -100,5 +116,15 @@ case object LegacyTfIdf extends Scorer {
     val queryNorm = if (sumSq > 0) 1.0 / math.sqrt(sumSq) else 1.0
     val coord = nMatched.toDouble / queryDfs.length.toDouble
     coord * queryNorm
+  }
+
+  /** Same arithmetic, same order: queryNorm is a driver-side constant
+    * (identical Seq fold), coord = nMatched/|q| divides first, then
+    * multiplies by queryNorm — bit-for-bit the Scala path's value. */
+  override def docFactorCol(nMatched: Column, queryDfs: Seq[Double], stats: CorpusStats): Column = {
+    val n = stats.numDocs.toDouble
+    val sumSq = queryDfs.map { df => val i = idf(df, n); i * i }.sum
+    val queryNorm = if (sumSq > 0) 1.0 / math.sqrt(sumSq) else 1.0
+    (nMatched.cast("double") / lit(queryDfs.length.toDouble)) * lit(queryNorm)
   }
 }

@@ -264,12 +264,17 @@ final class Searcher(
       if (minShouldMatch <= 0) occurFiltered
       else occurFiltered.where(
         col("nMatched") - col("nMust") >= minShouldMatch)
-    // doc-level factor (coord · queryNorm for the legacy scorer; 1 for BM25)
-    // — locals only in the closure, Searcher itself is not serializable
-    val (sc, qd, st) = (scorer, queryDfs, stats)
-    val factorUdf = udf((n: Int) => sc.docFactor(n, qd, st))
-    val scored = filtered
-      .withColumn("score", col("rawScore") * factorUdf(col("nMatched")))
+    // doc-level factor (coord · queryNorm for the legacy scorer; 1 for
+    // BM25) as a CODEGEN'D column — the row-at-a-time Scala UDF this
+    // replaces broke WholeStageCodegen on the matched-doc frame (one
+    // row per hit; corpus-proportional for broad queries). BM25 skips
+    // the multiplication entirely; docFactorCol replicates docFactor's
+    // arithmetic order bit-for-bit (asserted by the existing
+    // exhaustive≡WAND identity tests and the tfidf_legacy oracle).
+    val scored = (
+      if (scorer.docFactorIdentity) filtered.withColumn("score", col("rawScore"))
+      else filtered.withColumn("score", col("rawScore") *
+        scorer.docFactorCol(col("nMatched"), queryDfs, stats)))
       .select("docId", "score", "nMatched")
     val exTerms = mustNot.distinct.filterNot(qTerms.contains)
     // a term both required and prohibited matches nothing (Lucene
@@ -1506,7 +1511,6 @@ final class Searcher(
     // docFactor inputs are order-free sums over per-clause dfs
     val queryDfs =
       qTerms.map(t => meta.dfs.getOrElse(t, 0L).toDouble) ++ phraseRows.map(_._2)
-    val factorUdf = udf((n: Int) => sc.docFactor(n, queryDfs, st))
 
     // clause-match counts are over DISTINCT clause labels: a group
     // matching through two member terms is still ONE matched clause
@@ -1527,8 +1531,11 @@ final class Searcher(
     val filtered =
       if (nMustClauses == 0) perDoc
       else perDoc.where(col("nMust") === nMustClauses)
-    val scored = filtered
-      .withColumn("score", col("rawScore") * factorUdf(col("nMatched")))
+    // codegen'd doc factor, same fast-path/parity contract as scoredDocs
+    val scored = (
+      if (sc.docFactorIdentity) filtered.withColumn("score", col("rawScore"))
+      else filtered.withColumn("score", col("rawScore") *
+        sc.docFactorCol(col("nMatched"), queryDfs, st)))
       .select("docId", "score", "nMatched")
     // prohibited clauses: one anti-join over the union of their docIds
     val notDfs =
