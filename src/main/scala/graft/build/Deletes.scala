@@ -24,6 +24,29 @@ import graft.model.CorpusStats
   */
 object Deletes {
 
+  /** The one per-row delete rewrite both physical shapes share:
+    * decode, drop deleted docIds, re-encode — the unchanged-row
+    * (kept == df) pass-through keeps untouched lists byte-identical. */
+  private def rewriteRow(
+      row: (String, String, Long, Long, Long, Int, Array[Byte]),
+      delSet: java.util.HashSet[java.lang.Long])
+      : Iterator[(String, String, Long, Long, Long, Int, Array[Byte])] = {
+    val (f, t, sh, df, _, _, blob) = row
+    val view = new PostingsCodec.BlobView(blob)
+    val kept = view.allPostings.filterNot(pp => delSet.contains(pp.docId)).toArray
+    if (kept.length.toLong == df) {
+      // no deleted doc in this list — row passes through unchanged
+      Iterator.single(row)
+    } else if (kept.isEmpty) Iterator.empty
+    else {
+      var cf = 0L; var maxTf = 0
+      kept.foreach { pp => cf += pp.tf; if (pp.tf > maxTf) maxTf = pp.tf }
+      Iterator.single((f, t, sh, kept.length.toLong, cf, maxTf,
+        PostingsCodec.encodePostingsBlob(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(kept))))
+    }
+  }
+
   /** Apply `idx.deletes` physically; identity when there are none.
     * The result carries NO tombstones (they are merged in) and lazily
     * recomputed stats over the surviving docs. docIds are PRESERVED
@@ -54,34 +77,57 @@ object Deletes {
     val liveDocs = idx.docs.join(del.select("docId"), Seq("docId"), "left_anti")
       .select(idx.docs.columns.map(col).toSeq: _*)
 
-    // postings rewrite, cogrouped on the doc-range shard: decode →
-    // filter → re-encode ONLY rows in shards that actually have
-    // deletes; terms whose whole list was deleted drop out entirely
-    val p = idx.postings
-      .select("field", "term", "shard", "df", "cf", "maxTf", "blob")
-      .as[(String, String, Long, Long, Long, Int, Array[Byte])]
-      .groupByKey(_._3)
-    val d = del.as[(Long, Long)].groupByKey(_._2)
-    val newPostings = p.cogroup(d) { (_, rows, dels) =>
-      val delSet = new java.util.HashSet[java.lang.Long]()
-      dels.foreach(t => delSet.add(t._1))
-      if (delSet.isEmpty) rows
-      else rows.flatMap { case row @ (f, t, sh, df, _, _, blob) =>
-        val view = new PostingsCodec.BlobView(blob)
-        val kept = view.allPostings.filterNot(pp => delSet.contains(pp.docId)).toArray
-        if (kept.length.toLong == df) {
-          // no deleted doc in this list — row passes through unchanged
-          Iterator.single(row)
-        } else if (kept.isEmpty) Iterator.empty
-        else {
-          var cf = 0L; var maxTf = 0
-          kept.foreach { pp => cf += pp.tf; if (pp.tf > maxTf) maxTf = pp.tf }
-          Iterator.single((f, t, sh, kept.length.toLong, cf, maxTf,
-            PostingsCodec.encodePostingsBlob(
-              scala.collection.immutable.ArraySeq.unsafeWrapArray(kept))))
+    // postings rewrite: decode → filter → re-encode ONLY rows in
+    // shards that actually have deletes; terms whose whole list was
+    // deleted drop out entirely. Two equivalent physical shapes around
+    // the one shared per-row rewrite:
+    //
+    //  - small delete set (fits autoBroadcastJoinThreshold): broadcast
+    //    the id set and stream the postings table IN PLACE — no
+    //    shuffle of the (blob-heavy) postings volume at all. A
+    //    shard-membership pre-check keeps the cogroup shape's
+    //    zero-decode pass-through for untouched shards: a posting row
+    //    only holds docIds of its own shard, so ids from other shards
+    //    can never match and the global set is membership-identical to
+    //    the per-shard one (guide §3: broadcast the side that fits —
+    //    the common Lucene-style case of deletes ≪ corpus).
+    //  - otherwise: the original shard-cogroup — each task sees one
+    //    shard's rows plus only that shard's deleted ids; nothing
+    //    corpus-wide anywhere.
+    val bThresh = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val nDel = del.count()
+    val newPostings = if (bThresh > 0 && nDel * 16 <= bThresh) {
+      val ids = del.select("docId").as[Long].collect()
+      val delSet = new java.util.HashSet[java.lang.Long](ids.length * 2)
+      val shardSet = new java.util.HashSet[java.lang.Long]()
+      ids.foreach { id => delSet.add(id); shardSet.add(id / shardSize) }
+      val bcDel = spark.sparkContext.broadcast(delSet)
+      val bcShards = spark.sparkContext.broadcast(shardSet)
+      idx.postings
+        .select("field", "term", "shard", "df", "cf", "maxTf", "blob")
+        .as[(String, String, Long, Long, Long, Int, Array[Byte])]
+        .mapPartitions { rows =>
+          val ds = bcDel.value
+          val ss = bcShards.value
+          rows.flatMap { row =>
+            if (!ss.contains(row._3)) Iterator.single(row)
+            else rewriteRow(row, ds)
+          }
         }
-      }
-    }.toDF("field", "term", "shard", "df", "cf", "maxTf", "blob")
+        .toDF("field", "term", "shard", "df", "cf", "maxTf", "blob")
+    } else {
+      val p = idx.postings
+        .select("field", "term", "shard", "df", "cf", "maxTf", "blob")
+        .as[(String, String, Long, Long, Long, Int, Array[Byte])]
+        .groupByKey(_._3)
+      val d = del.as[(Long, Long)].groupByKey(_._2)
+      p.cogroup(d) { (_, rows, dels) =>
+        val delSet = new java.util.HashSet[java.lang.Long]()
+        dels.foreach(t => delSet.add(t._1))
+        if (delSet.isEmpty) rows
+        else rows.flatMap(rewriteRow(_, delSet))
+      }.toDF("field", "term", "shard", "df", "cf", "maxTf", "blob")
+    }
 
     val newTermStats = newPostings.groupBy("field", "term").agg(
       sum("df").as("df"), sum("cf").as("cf"), max("maxTf").as("maxTf"))
