@@ -184,6 +184,32 @@ class DeleteSpec extends AnyFunSuite {
     assert(applied.termStats.where($"term" === "uniqterm").count() === 0L)
   }
 
+  test("physical apply: broadcast-set path ≡ shard-cogroup path, blob bytes included") {
+    // the two physical shapes of Deletes.appliedWith (small-delete-set
+    // broadcast stream vs shard cogroup) are selected by
+    // autoBroadcastJoinThreshold; their outputs must be the identical
+    // row set — same keys, same stats columns, same encoded blobs
+    val base = IndexBuilder.fromText(spark, docsDf(120, 11L), "doc_id", "text",
+      cfg = IndexConfig(shardSizeDocs = 32))
+    val dels = delIds(120)
+    def postingsOf(threshold: String) = {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      try Deletes.applied(spark, base.withDeletes(dels.toDF("docId")))
+        .postings.collect()
+        .map(r => ((r.getString(0), r.getString(1), r.getLong(2)),
+          (r.getLong(3), r.getLong(4), r.getInt(5),
+            r.getAs[Array[Byte]]("blob").toSeq))).toMap
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+    val viaCogroup = postingsOf("-1")
+    val viaBroadcast = postingsOf("10485760")
+    assert(viaBroadcast.keySet === viaCogroup.keySet)
+    viaCogroup.foreach { case (k, v) =>
+      assert(viaBroadcast(k) === v, s"row diverged between apply paths: $k")
+    }
+  }
+
   test("deleting every doc of a query's terms yields empty results, not errors") {
     val rows = (0 until 40).map(i => (i.toLong, if (i < 5) "needle haystack" else "haystack"))
       .toDF("doc_id", "text")
