@@ -99,6 +99,31 @@ class Round3Spec extends AnyFunSuite {
     assert(fromPersisted.toSeq === inline.toSeq)
   }
 
+  test("dedup broadcast gates: shuffle fallback ≡ broadcast shape on every gated operator") {
+    // the size-gated broadcast hints in dedupGroupsFromPairs /
+    // simhashPairs / simhashEdges / embedCosinePairs select a physical
+    // shape only — with the threshold disabled every operator must
+    // fall back to the pre-gate shuffle plans and produce the
+    // identical rows
+    val docs = TextPipeline.documents(spark, "/root/testdata/sf0.001")
+    val emb = TextPipeline.embeddings(spark, "/root/testdata/sf0.001")
+    def results(threshold: String): Seq[Seq[(Long, Long)]] = {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      try Seq(
+        TextPipeline.dedupGroups(docs, 8)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+        TextPipeline.simhashPairs(docs, 8)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+        TextPipeline.embedCosinePairs(emb, 0.4)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+    val viaShuffle = results("-1")
+    val viaBroadcast = results("10485760")
+    assert(viaShuffle === viaBroadcast)
+  }
+
   test("pipeline ops leave the session CacheManager empty (no pinned plans)") {
     spark.catalog.clearCache()
     val docs = boilerplateDocs(10)
